@@ -1,0 +1,116 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` against its
+``oracle_sql()`` DuckDB twin at the given scale factor and compares:
+row count, column names (sorted), and values (rows sorted, exact
+equality — stricter than the driver's hash, so green here should mean
+green there).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, then sort rows for order-insensitive compare."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if math.isinf(v):
+                return "inf" if v > 0 else "-inf"
+            return v
+        if isinstance(v, (list, tuple)):
+            return tuple(norm_val(x) for x in v)
+        if isinstance(v, bytes):
+            return v.hex()
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from mapreducelearnings_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, skipped = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            skipped.append(name)
+            print(f"skip  {name}: no oracle (rows-only) rows={len(srows)}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            failures.append((name, f"cols spark={sorted(scols)} oracle={sorted(ocols)}"))
+            print(f"FAIL  {name}: column mismatch {sorted(scols)} vs {sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append((name, f"rowcount spark={len(srows)} oracle={len(orows)}"))
+            print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        ns, no = normalize(srows, scols), normalize(orows, ocols)
+        if ns != no:
+            bad = next(i for i, (a, b) in enumerate(zip(ns, no)) if a != b)
+            failures.append((name, f"values differ at sorted row {bad}"))
+            print(f"FAIL  {name}: values differ; first diff row {bad}:")
+            print(f"      spark : {ns[bad]}")
+            print(f"      oracle: {no[bad]}")
+            continue
+        print(f"ok    {name}  rows={len(srows)}  ({dt:.1f}s)")
+
+    print(
+        f"\n{len(qs) - len(failures) - len(skipped)} ok, "
+        f"{len(failures)} failed, {len(skipped)} rows-only of {len(qs)}"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
