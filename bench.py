@@ -31,6 +31,12 @@ HEADLINE = [
     "union_reagg",
     "window_events",
     "explode_tokens",
+    # iterative / graph workloads (BASELINE.md bench set)
+    "pagerank_idfilter",
+    "sssp_distances",
+    "triangle_count",
+    "triangle_count_broadcast",
+    "kmeans_centroids",
 ]
 
 

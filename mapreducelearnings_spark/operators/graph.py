@@ -1,0 +1,203 @@
+"""Graph algorithm layer: PageRank, SSSP, triangle counting — the
+reference's signature iterative capability (SURVEY.md §2.8), expressed
+as DataFrame loop bodies under the :mod:`..plans.iterate` runner.
+
+Reference parity cites (behavior studied, no code taken):
+- chain-graph generator + PageRank w/ dummy-vertex dangling mass:
+  PageRankRDD/src/main/scala/wc/FollowerCount.scala:33-70 (the RDD
+  variant's semantics — vertex 0 pinned to rank 0 — are the
+  mathematically intended ones; the DF twin PageRankDataSet:70 has a
+  when/otherwise quirk that also credits vertex 0, documented not
+  reproduced, per SURVEY.md §4 item 2).
+- SSSP (parallel BFS with min-relaxation):
+  SingleSourceShortestPathRDD/src/main/scala/wc/FollowerCount.scala:36-51.
+- triangle counting, shuffle and broadcast variants:
+  ReduceSideJoin/src/main/java/wc/CountFollowers.java:79-164;
+  RepJoin/src/main/java/wc/CountFollowers.java:92-122 (count/3 at :119).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..plans.iterate import iterate
+
+INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic chain graph (distributed — the reference builds it in a
+# driver-side Map, capping k; spark.range scales to any k).
+# ---------------------------------------------------------------------------
+
+
+def chain_graph(spark: SparkSession, k: int) -> tuple[DataFrame, DataFrame]:
+    """k linear chains of k vertices (ids 1..k²); chain tails link to the
+    dangling dummy vertex 0 (PageRankRDD/.../FollowerCount.scala:33-50).
+
+    Returns (edges(src,dst), ranks0(vertex, rank)) with rank 1/k² for
+    real vertices and 0.0 for the dummy.
+    """
+    n = k * k
+    verts = spark.range(1, n + 1).select(F.col("id").alias("v"))
+    edges = verts.select(
+        F.col("v").alias("src"),
+        F.when(F.col("v") % k == 0, F.lit(0)).otherwise(F.col("v") + 1).alias("dst"),
+    )
+    ranks0 = verts.select(
+        F.col("v").alias("vertex"), F.lit(1.0 / n).alias("rank")
+    ).unionByName(
+        spark.createDataFrame([(0, 0.0)], "vertex: long, rank: double")
+    )
+    return edges, ranks0
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    ranks0: DataFrame,
+    n_vertices: int,
+    iterations: int = 10,
+) -> DataFrame:
+    """PageRank with the reference's no-damping, dummy-vertex dangling-mass
+    semantics (PageRankRDD/.../FollowerCount.scala:58-70):
+
+    per iteration: mass(v) = Σ rank(u) over edges u→v  (join + group-sum);
+    delta = mass at dummy vertex 0; every real vertex gets
+    mass + delta/|V| (vertices without in-edges get 0 + delta/|V| via the
+    union-with-zeroed-ranks idiom, here a left join + coalesce); vertex 0
+    is pinned to 0.
+
+    Scale design: the delta scalar is NOT collected to the driver — it is
+    a 1-row aggregate broadcast back into the plan, so one iteration is
+    one declarative job with no driver round-trip. The loop-invariant
+    edge list is persisted once; rank lineage is truncated periodically
+    by the runner.
+    """
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = ranks0.select("vertex").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        mass = (
+            edges.join(ranks, edges.src == ranks.vertex)
+            .groupBy(edges.dst.alias("vertex"))
+            .agg(F.sum("rank").alias("mass"))
+        )
+        delta = mass.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("vertex") == 0, F.col("mass"))), F.lit(0.0)
+            ).alias("delta")
+        )
+        return (
+            vertices.join(mass, "vertex", "left")
+            .crossJoin(F.broadcast(delta))
+            .select(
+                "vertex",
+                F.when(F.col("vertex") == 0, 0.0)
+                .otherwise(
+                    F.coalesce(F.col("mass"), F.lit(0.0))
+                    + F.col("delta") / F.lit(float(n_vertices))
+                )
+                .alias("rank"),
+            )
+        )
+
+    out = iterate(ranks0, step, max_iter=iterations, checkpoint_every=4)
+    edges.unpersist()
+    vertices.unpersist()
+    return out
+
+
+def pagerank_chain(spark: SparkSession, k: int = 100, iterations: int = 10) -> DataFrame:
+    edges, ranks0 = chain_graph(spark, k)
+    return pagerank(spark, edges, ranks0, n_vertices=k * k, iterations=iterations)
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest path (parallel BFS, min-relaxation)
+# ---------------------------------------------------------------------------
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Unweighted SSSP: hop distance from ``source``; unreachable stays
+    +inf (SingleSourceShortestPathRDD/.../FollowerCount.scala:29,36-51).
+
+    Loop body: relax every edge whose tail has a finite distance
+    (join → project dist+1), take the per-vertex min of old and relaxed
+    distances, stop when no distance changed (diff-count join — the
+    reference's convergence test, :42-44).
+    """
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = (
+        edges.select(F.col("src").alias("vertex"))
+        .unionByName(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dist0 = vertices.select(
+        "vertex",
+        F.when(F.col("vertex") == source, 0.0).otherwise(F.lit(INF)).alias("dist"),
+    )
+
+    def step(dist: DataFrame, _i: int) -> DataFrame:
+        relaxed = (
+            edges.join(dist, edges.src == dist.vertex)
+            .where(F.col("dist") != INF)
+            .select(edges.dst.alias("vertex"), (F.col("dist") + 1).alias("dist"))
+        )
+        return (
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        changed = (
+            new.alias("n")
+            .join(old.alias("o"), "vertex")
+            .where(F.col("n.dist") != F.col("o.dist"))
+            .count()
+        )
+        return changed == 0
+
+    out = iterate(dist0, step, converged=converged, max_iter=max_iter)
+    edges.unpersist()
+    vertices.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (directed 3-cycles / 3, per the reference)
+# ---------------------------------------------------------------------------
+
+
+def triangle_count(edges: DataFrame, broadcast_probe: bool = False) -> DataFrame:
+    """Count directed 3-cycles and divide by 3 — each cycle is found once
+    per starting vertex (RepJoin/.../CountFollowers.java:119 divides by 3;
+    ReduceSideJoin runs the same two-join plan shuffle-side).
+
+    ``broadcast_probe=True`` replicates the closing edge set to every
+    task (RepJoin's distributed-cache hash map); False lets the joins
+    shuffle (ReduceSideJoin). Same result, two physical strategies —
+    the reference's own cross-implementation test oracle (SURVEY.md §5).
+    Input must be self-loop-free and deduplicated.
+    """
+    a, b, c = edges.alias("a"), edges.alias("b"), edges.alias("c")
+    if broadcast_probe:
+        b, c = F.broadcast(b), F.broadcast(c)
+    cycles = a.join(b, F.col("a.dst") == F.col("b.src")).join(
+        c, (F.col("b.dst") == F.col("c.src")) & (F.col("c.dst") == F.col("a.src"))
+    )
+    return cycles.agg(F.expr("count(1) div 3").alias("triangles"))

@@ -1,0 +1,55 @@
+"""Generic fixpoint runner — the driver-side loop Catalyst does not give
+us (SURVEY.md §4 "Things Catalyst does NOT give us", item 1).
+
+The reference's iterative jobs either grow one giant lineage/plan per
+iteration (PageRankDataSet/src/main/scala/wc/FollowerCount.scala:63-73 —
+10 iterations compose one unbounded plan) or pass state between
+iterations through the file system
+(K-means/src/main/java/wc/CountFollowers.java:177-200). This runner
+replaces both with persist + periodic ``localCheckpoint`` discipline:
+
+- every iteration's state is persisted and materialized, so the next
+  iteration reads cached partitions instead of recomputing the chain;
+- every ``checkpoint_every`` iterations the lineage is truncated, so the
+  logical plan stays O(checkpoint_every) deep no matter how many
+  iterations run — at 100 TB an unbounded plan is a driver OOM and an
+  optimizer blow-up, not a style issue.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+
+def iterate(
+    state: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    max_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Run ``step`` until ``converged`` or ``max_iter``.
+
+    ``step(state, i)`` returns the next state; ``converged(old, new)``
+    (optional) is evaluated after each step — it may run Spark actions
+    (e.g. a diff-count join, SingleSourceShortestPathRDD/.../
+    FollowerCount.scala:42-44).
+    """
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    for i in range(max_iter):
+        new = step(state, i)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new = new.localCheckpoint(eager=True)  # truncate lineage
+        else:
+            new = new.persist(StorageLevel.MEMORY_AND_DISK)
+            new.count()
+        done = bool(converged and converged(state, new))
+        state.unpersist()
+        state = new
+        if done:
+            break
+    return state

@@ -29,6 +29,8 @@ from .catalog import (
     graph_edges,
     load_table,
 )
+from .operators import graph as G
+from .operators import kmeans as KM
 from .operators import relational as R
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -480,4 +482,194 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "sum_value",
         )
+    )
+
+
+# ===========================================================================
+# §2.8 Iterative / graph algorithms — oracles are the same computation
+# unrolled into ANSI SQL (chain generation via range(), PageRank as 10
+# chained CTEs, SSSP as a bounded recursive CTE, k-means as unrolled
+# assign/update rounds), so DuckDB independently recomputes the fixpoint.
+# ===========================================================================
+
+_PR_K = 100
+_PR_ITERS = 10
+
+
+def _pagerank_oracle(k: int, iterations: int, final_select: str) -> str:
+    n = k * k
+    parts = [
+        f"WITH verts AS (SELECT CAST(range AS BIGINT) AS v FROM range(1, {n + 1})),",
+        f"edges AS (SELECT v AS src, CASE WHEN v % {k} = 0 THEN 0 ELSE v + 1 END AS dst FROM verts),",
+        f"r0 AS (SELECT v, 1.0/{n} AS r FROM verts UNION ALL SELECT 0, 0.0),",
+    ]
+    # MATERIALIZED: each level is referenced 2-3× by the next; DuckDB
+    # would otherwise inline CTEs and the plan grows exponentially.
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e.dst AS v, SUM(r.r) AS m FROM edges e "
+            f"JOIN r{i - 1} r ON e.src = r.v GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT b.v AS v, CASE WHEN b.v = 0 THEN 0.0 ELSE "
+            f"COALESCE(t{i}.m, 0.0) + "
+            f"(SELECT COALESCE(MAX(m), 0.0) FROM t{i} WHERE v = 0) / {n}.0 END AS r "
+            f"FROM r{i - 1} b LEFT JOIN t{i} ON b.v = t{i}.v),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(final_select.format(last=f"r{iterations}"))
+    return "\n".join(parts)
+
+
+@register(
+    "pagerank_idfilter",
+    _pagerank_oracle(
+        _PR_K,
+        _PR_ITERS,
+        "SELECT v AS vertex, ROUND(r, 9) AS rank FROM {last} WHERE v <= 100",
+    ),
+    doc="PageRank on the k=100 chain graph, 10 iterations, RDD-variant "
+    "output: vertices with id <= 100 (PageRankRDD/.../FollowerCount."
+    "scala:72-73; dummy vertex 0 included at rank 0).",
+)
+def q_pagerank_idfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = G.pagerank_chain(spark, k=_PR_K, iterations=_PR_ITERS)
+    return ranks.where(F.col("vertex") <= 100).select(
+        "vertex", F.round("rank", 9).alias("rank")
+    )
+
+
+@register(
+    "pagerank_topk",
+    _pagerank_oracle(
+        _PR_K,
+        _PR_ITERS,
+        "SELECT v AS vertex, ROUND(r, 9) AS rank FROM {last} "
+        "ORDER BY ROUND(r, 9) DESC, v ASC LIMIT 100",
+    ),
+    doc="PageRank, DataFrame-variant output: top-100 by rank "
+    "(PageRankDataSet/.../FollowerCount.scala:76). Chain symmetry makes "
+    "ranks k-way tied; vertex-id tiebreak keeps the row set deterministic.",
+)
+def q_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = G.pagerank_chain(spark, k=_PR_K, iterations=_PR_ITERS)
+    return R.top_k(
+        ranks.select("vertex", F.round("rank", 9).alias("rank")),
+        [F.desc("rank"), F.asc("vertex")],
+        100,
+    )
+
+
+@register(
+    "sssp_distances",
+    f"""
+    WITH RECURSIVE e AS ({GRAPH_EDGES_SQL}),
+    -- no top-level UNION here: under WITH RECURSIVE, DuckDB would treat
+    -- its branches as anchor/recursive and skip the distinct
+    verts AS (SELECT DISTINCT v FROM
+              (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),
+    bfs AS (
+        SELECT CAST(1 AS BIGINT) AS v, 0 AS d
+        UNION
+        SELECT e.dst AS v, b.d + 1 AS d FROM bfs b JOIN e ON e.src = b.v
+        WHERE b.d < 128
+    ),
+    md AS (SELECT v, MIN(d) AS d FROM bfs GROUP BY v)
+    SELECT verts.v AS vertex, CAST(md.d AS DOUBLE) AS distance
+    FROM verts LEFT JOIN md ON verts.v = md.v
+    """,
+    doc="SSSP hop distances from vertex 1 over the derived cyclic graph "
+    "(SingleSourceShortestPathRDD/.../FollowerCount.scala:36-51). "
+    "Unreachable vertices surface as NULL here (engine-internal +inf is "
+    "not hash-portable); the library keeps the reference's +inf.",
+)
+def q_sssp_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dist = G.sssp(spark, graph_edges(spark, sf_dir), source=1)
+    return dist.select(
+        "vertex",
+        F.when(F.col("dist") == G.INF, F.lit(None).cast("double"))
+        .otherwise(F.col("dist"))
+        .alias("distance"),
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+    WITH e AS ({GRAPH_EDGES_SQL})
+    SELECT COUNT(*) // 3 AS triangles
+    FROM e a JOIN e b ON a.dst = b.src JOIN e c
+      ON b.dst = c.src AND c.dst = a.src
+"""
+
+
+@register(
+    "triangle_count",
+    _TRIANGLE_ORACLE,
+    doc="Triangle count, shuffle-join plan (ReduceSideJoin/.../"
+    "CountFollowers.java:79-164; count/3 per RepJoin:119).",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count(graph_edges(spark, sf_dir), broadcast_probe=False)
+
+
+@register(
+    "triangle_count_broadcast",
+    _TRIANGLE_ORACLE,
+    doc="Triangle count, broadcast-probe plan (RepJoin/.../CountFollowers."
+    "java:92-122) — same result as triangle_count by construction; the "
+    "pair reproduces the reference's cross-implementation oracle "
+    "(SURVEY.md §5).",
+)
+def q_triangle_count_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count(graph_edges(spark, sf_dir), broadcast_probe=True)
+
+
+_KM_K = 4
+_KM_ROUNDS = 5
+
+
+def _kmeans_oracle(k: int, rounds: int) -> str:
+    parts = [
+        "WITH pts AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS w FROM "
+        "(SELECT o_totalprice AS x FROM orders) GROUP BY x),",
+        f"c0 AS (SELECT CAST(j AS BIGINT) AS cid, (SELECT MAX(x) FROM pts) / {k}.0 * j AS c "
+        f"FROM range(1, {k + 1}) t(j)),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS (SELECT p.x, p.w, "
+            f"(MIN({{'d': abs(p.x - c.c), 'cid': c.cid}})).cid AS cid "
+            f"FROM pts p CROSS JOIN c{i - 1} c GROUP BY p.x, p.w),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT cid, SUM(x * w) / SUM(w) AS c FROM a{i} GROUP BY cid),"
+        )
+    parts.append(
+        f"afin AS (SELECT p.x, p.w, "
+        f"(MIN({{'d': abs(p.x - c.c), 'cid': c.cid}})).cid AS cid "
+        f"FROM pts p CROSS JOIN c{rounds} c GROUP BY p.x, p.w)"
+    )
+    parts.append(
+        f"SELECT a.cid AS cluster_id, ROUND(c.c, 4) AS centroid, "
+        f"SUM(a.w) AS n_points FROM afin a JOIN c{rounds} c ON a.cid = c.cid "
+        f"GROUP BY a.cid, c.c"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_centroids",
+    _kmeans_oracle(_KM_K, _KM_ROUNDS),
+    doc="1-D k-means over o_totalprice, k=4, 5 fixed assign/update rounds "
+    "(K-means/.../CountFollowers.java:172-203; seeding max/k·j per "
+    ":224-236, nearest-by-abs-distance assignment per :272-274). The "
+    "convergence-tested variant is exercised in pytest; fixed rounds keep "
+    "the oracle SQL-unrollable.",
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = KM.kmeans_1d(
+        orders, "o_totalprice", k=_KM_K, fixed_iterations=_KM_ROUNDS
+    )
+    return out.select(
+        "cluster_id", F.round("centroid", 4).alias("centroid"), "n_points"
     )

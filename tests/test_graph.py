@@ -1,0 +1,140 @@
+"""Graph/iterative algorithm tests: the reference's own invariants
+(SURVEY.md §5) plus hand-computable micro-fixtures (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducelearnings_spark.operators import graph as G
+from mapreducelearnings_spark.operators import kmeans as KM
+from mapreducelearnings_spark.catalog import graph_edges, load_table
+
+
+# --- PageRank ---------------------------------------------------------------
+
+
+def test_pagerank_rank_sum_is_one(spark):
+    """The reference prints the rank sum every iteration and it must stay
+    ≈ 1 (PageRankRDD/.../FollowerCount.scala:69)."""
+    ranks = G.pagerank_chain(spark, k=10, iterations=10)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_k3_hand_computed(spark):
+    """k=3 chain: 9 vertices in 3 chains 1→2→3→0, 4→5→6→0, 7→8→9→0.
+    After 1 iteration: heads get only delta/9; delta = mass into 0 = 3/9.
+    mass(2)=rank(1)=1/9, etc. So rank(head)=1/27, others 1/9+1/27."""
+    edges, ranks0 = G.chain_graph(spark, 3)
+    ranks = G.pagerank(spark, edges, ranks0, n_vertices=9, iterations=1)
+    got = {r["vertex"]: r["rank"] for r in ranks.collect()}
+    delta_share = (3 / 9) / 9
+    assert got[0] == 0.0
+    for head in (1, 4, 7):
+        assert abs(got[head] - delta_share) < 1e-12
+    for mid in (2, 3, 5, 6, 8, 9):
+        assert abs(got[mid] - (1 / 9 + delta_share)) < 1e-12
+
+
+def test_pagerank_dummy_vertex_pinned_to_zero(spark):
+    ranks = G.pagerank_chain(spark, k=5, iterations=3)
+    assert ranks.where(F.col("vertex") == 0).first()["rank"] == 0.0
+
+
+# --- SSSP -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def micro_graph(spark):
+    """Hand-solved 6-vertex graph (FIXTURES.md §3): component reachable
+    from 1, an unreachable component, a cycle, and two equal-length paths."""
+    rows = [
+        (1, 2), (2, 3), (1, 4), (4, 3),  # two equal paths 1→…→3
+        (3, 1),                          # cycle back to source
+        (5, 6),                          # unreachable component
+    ]
+    return spark.createDataFrame(rows, "src: long, dst: long")
+
+
+def test_sssp_micro_graph_distances(spark, micro_graph):
+    dist = {r["vertex"]: r["dist"] for r in G.sssp(spark, micro_graph, 1).collect()}
+    assert dist[1] == 0.0
+    assert dist[2] == 1.0 and dist[4] == 1.0
+    assert dist[3] == 2.0  # min over the two equal paths
+    assert dist[5] == G.INF and dist[6] == G.INF  # unreachable stays +inf
+
+
+def test_sssp_source_stays_zero_despite_cycle(spark, micro_graph):
+    dist = {r["vertex"]: r["dist"] for r in G.sssp(spark, micro_graph, 1).collect()}
+    assert dist[1] == 0.0  # 3→1 relaxation must not overwrite the source
+
+
+def test_sssp_triangle_inequality(spark, sf_dir):
+    """d(v) ≤ d(u) + 1 for every edge u→v with finite d(u)."""
+    edges = graph_edges(spark, sf_dir)
+    dist = G.sssp(spark, edges, 1)
+    viol = (
+        edges.join(dist.withColumnRenamed("dist", "du"), edges.src == dist.vertex)
+        .drop("vertex")
+        .join(
+            dist.withColumnRenamed("dist", "dv").withColumnRenamed("vertex", "v2"),
+            edges.dst == F.col("v2"),
+        )
+        .where((F.col("du") != G.INF) & (F.col("dv") > F.col("du") + 1))
+        .count()
+    )
+    assert viol == 0
+
+
+# --- Triangles --------------------------------------------------------------
+
+
+def test_triangle_cross_implementation_equivalence(spark, sf_dir):
+    """Broadcast and shuffle plans must agree — the reference's own
+    RepJoin vs ReduceSideJoin redundancy (SURVEY.md §5)."""
+    e = graph_edges(spark, sf_dir)
+    a = G.triangle_count(e, broadcast_probe=False).first()["triangles"]
+    b = G.triangle_count(e, broadcast_probe=True).first()["triangles"]
+    assert a == b
+
+
+def test_triangle_known_micro_graph(spark):
+    # one directed 3-cycle + noise edges
+    rows = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+    e = spark.createDataFrame(rows, "src: long, dst: long")
+    assert G.triangle_count(e).first()["triangles"] == 1
+
+
+# --- k-means ----------------------------------------------------------------
+
+
+def test_kmeans_sse_non_increasing(spark, sf_dir):
+    """SSE must not increase across iterations
+    (SSE per K-means/.../CountFollowers.java:133-140)."""
+    orders = load_table(spark, sf_dir, "orders")
+    sses = []
+    for iters in (1, 2, 4, 6):
+        out = KM.kmeans_1d(orders, "o_totalprice", k=4, fixed_iterations=iters)
+        cents = [r["centroid"] for r in out.collect()]
+        sses.append(KM.kmeans_sse(orders, "o_totalprice", cents))
+    assert all(a >= b - 1e-6 for a, b in zip(sses, sses[1:]))
+
+
+def test_kmeans_converges_and_counts_cover_all_points(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = KM.kmeans_1d(orders, "o_totalprice", k=4, max_iter=10).collect()
+    assert sum(r["n_points"] for r in out) == orders.count()
+    assert len(out) <= 4
+
+
+def test_kmeans_compat_truncate_matches_reference_longs(spark, sf_dir):
+    """compat flag reproduces the reference's long-truncated means
+    (K-means/.../CountFollowers.java:130-131)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = KM.kmeans_1d(
+        orders, "o_totalprice", k=4, fixed_iterations=3, compat_truncate=True
+    ).collect()
+    for r in out:
+        assert r["centroid"] == float(int(r["centroid"]))
