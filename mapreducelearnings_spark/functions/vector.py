@@ -1,0 +1,34 @@
+"""Vector math over ``array<float>`` embedding columns — pure column
+expressions (F.zip_with / F.aggregate fold), no UDFs, so the arithmetic
+stays in whole-stage codegen and is bit-identical to DuckDB's
+sequential list folds (verified in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double(vec: Column) -> Column:
+    """Cast array<float> → array<double> before arithmetic: float math
+    is engine-specific, double folds are bit-portable."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right fold — same operation order as DuckDB's
+    list_dot_product, hence bit-exact parity."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

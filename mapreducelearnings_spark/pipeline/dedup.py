@@ -1,0 +1,166 @@
+"""Deduplication family (SURVEY.md §2.11 — NEW layer for LLM data
+pipelines; no reference counterpart).
+
+Five methods, cheap→thorough, all pure column expressions (no UDFs):
+
+- **exact**: group by content hash. One shuffle on a 128-bit key;
+  at 100 TB this is the always-first pass.
+- **n-gram Jaccard**: exact set similarity over word shingles via a
+  shingle self-join. Quadratic in shingle frequency — correct but the
+  join explodes on common shingles; kept as the small-scale oracle and
+  verifier for the LSH path.
+- **MinHash + banded LSH**: the scale path. Signature = 16 md5-salted
+  min-hashes; 4 bands of 4 rows; candidate pairs share a band
+  signature. Cost: one explode + one groupBy per doc + one equi-join on
+  band signatures — no quadratic blow-up. Hash functions are md5-based,
+  so the DuckDB oracle reproduces signatures bit-for-bit.
+- **SimHash**: 32-bit fingerprint; near-dups differ in few bits.
+- **embedding cosine**: near-dup by semantic similarity (see
+  simsearch for the top-k variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-hash groups: (text_hash, keep_id, n_dups). Keep-id policy:
+    lowest doc_id survives."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    return docs.select(
+        "doc_id",
+        F.explode(X.word_shingles(X.tokens(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets, pairs ≥ threshold.
+
+    |A∩B| via the shingle self-join, |A| and |B| via per-doc counts:
+    J = inter / (|A| + |B| − inter).
+    """
+    sh = shingle_table(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, mh_0 … mh_{n−1}) — all ``num_hashes`` min-hashes in ONE
+    groupBy pass (one shuffle), from ONE md5 per shingle (the universal
+    hash family in functions.text derives every permutation by
+    multiply-add)."""
+    sh = shingle_table(docs, text_col).select(
+        "doc_id", (X.md5_long(F.col("shingle")) % X.MINHASH_M).alias("h")
+    )
+    aggs = [
+        F.min(X.minhash_value(F.col("h"), i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a, doc_b), doc_a < doc_b.
+
+    Band signature = md5 of the comma-joined row hashes; docs sharing any
+    band signature become candidates. The band join is an equi-join on
+    (band, signature) — at 100 TB this is the only pairwise step and it
+    touches only true collisions.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document: bit j of the fingerprint is the sign
+    of Σ_tokens (±1 by bit j of the token's md5-32) — term frequency
+    weighted. One explode + one two-level aggregation."""
+    toks = docs.select("doc_id", F.explode(X.tokens(text_col)).alias("tok"))
+    hashed = toks.select("doc_id", X.md5_long(F.col("tok"), 8).alias("h"))
+    bits = hashed.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"), "h"
+    ).select(
+        "doc_id",
+        "j",
+        F.when(F.expr("(h >> j) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("w"),
+    )
+    per_bit = bits.groupBy("doc_id", "j").agg(F.sum("w").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(0)
+        ).alias("simhash")
+    )

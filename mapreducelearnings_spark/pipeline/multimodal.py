@@ -1,0 +1,110 @@
+"""Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as
+opaque ``binary`` payloads + typed metadata structs, with Arrow-batched
+Pandas-UDF decode hooks.
+
+Design for 100 TB: payloads stay binary columns in Parquet (or pointer
+structs — URI + offset + length — when blobs live out-of-table in object
+storage); metadata is a first-class struct column so filters on
+mime/size/dims push down WITHOUT touching bytes; decode/feature-extract
+runs in ``mapInPandas`` so bytes move driver-free through Arrow batches.
+
+The decode step itself is STUBBED: the image/audio libraries are not in
+this container. ``decode_image_batch`` raises NotImplementedError unless
+``fake=True``, which substitutes a deterministic byte-histogram
+"feature" — the Spark-side plumbing (schema, batch iteration, partition
+shape) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake multimodal table: payload = UTF-8 bytes of the
+    text column, metadata derived from the payload. In production the
+    payload column is the raw media blob; everything downstream is
+    identical."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_batch(
+    payloads: pd.Series, fake: bool = False
+) -> list[list[float]]:
+    """Decode a batch of image payloads to features. STUB: real decode
+    needs PIL/cv2 (not in this container)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2; run with fake=True for the "
+            "deterministic byte-histogram stand-in"
+        )
+    out = []
+    for blob in payloads:
+        hist = [0.0] * 8
+        for byte in blob:
+            hist[byte & 7] += 1.0
+        total = sum(hist) or 1.0
+        out.append([h / total for h in hist])
+    return out
+
+
+def extract_features(multimodal: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over payload batches — the real
+    scale plumbing: Arrow batches in, Arrow batches out, no
+    row-at-a-time Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = decode_image_batch(pdf["payload"], fake=fake)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return multimodal.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def multimodal_meta(docs: DataFrame) -> DataFrame:
+    """Metadata-only projection — the query pattern that must NOT read
+    payload bytes at scale (struct-field pruning; asserted in tests)."""
+    mm = attach_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )

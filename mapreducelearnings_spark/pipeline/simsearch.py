@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 — NEW
+layer). Two strategies:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the candidate corpus, cosine as a codegen
+  fold, per-query top-k via window row_number. At 100 TB the candidate
+  scan is embarrassingly parallel and the only shuffle is the final
+  per-query k-row reduction.
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (planes derived deterministically from md5, embedded as literals in
+  BOTH the Spark plan and the SQL oracle), candidates restricted to the
+  query's bucket. Trades recall for a bucket-local search; identical
+  bucketing in both engines makes even the approximate result
+  oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+N_PLANES = 8
+DIMS = 64
+
+
+def hyperplanes(n_planes: int = N_PLANES, dims: int = DIMS) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [−1, 1): component
+    (p, d) = md5-60bit("p:d") / 2⁶⁰ · 2 − 1. Pure-Python md5 so the same
+    literal values can be embedded in the SQL oracle."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(h / float(1 << 60) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _emb_double(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id", V.to_double(F.col("embedding")).alias("emb")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors for the first ``n_queries`` vectors
+    (vec_id < n_queries) against the whole corpus (excluding self).
+
+    Returns (query_id, neighbor_id, cos, rank); ordering tiebreak on
+    neighbor_id keeps the row set deterministic under rounded ties.
+    """
+    emb = _emb_double(embeddings)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _bucket_expr(emb_col):
+    """LSH bucket id: bit p = sign of ⟨v, plane_p⟩."""
+    planes = hyperplanes()
+    bits = []
+    for p, row in enumerate(planes):
+        plane_lit = F.array(*[F.lit(x) for x in row])
+        d = V.dot(emb_col, plane_lit)
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's hyperplane
+    bucket. Equi-join on bucket replaces the full cross product — the
+    100 TB path (bucket count scales 2^planes; skewed buckets split by
+    AQE)."""
+    emb = _emb_double(embeddings).withColumn("bucket", _bucket_expr(F.col("emb")))
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "bucket"
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t).
+    Brute-force variant; the LSH bucket join above is the scale path."""
+    emb = _emb_double(embeddings)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(V.cosine(F.col("ea"), F.col("eb")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

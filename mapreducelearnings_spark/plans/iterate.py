@@ -39,14 +39,16 @@ def iterate(
     FollowerCount.scala:42-44).
     """
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
-    state.count()
     for i in range(max_iter):
         new = step(state, i)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint(eager=True)  # truncate lineage
+            new = new.localCheckpoint(eager=True)  # truncate lineage (one job)
         else:
+            # lazy persist: materialized by the convergence action below,
+            # or — in fixed-iteration loops — by the checkpoint/final
+            # action, which caches every intermediate marker in ONE job
+            # instead of one job per iteration.
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
-            new.count()
         done = bool(converged and converged(state, new))
         state.unpersist()
         state = new

@@ -673,3 +673,303 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cluster_id", F.round("centroid", 4).alias("centroid"), "n_points"
     )
+
+
+# ===========================================================================
+# §2.11 NEW LLM-pipeline layer: dedup, text analysis, similarity search,
+# multimodal. Hashing is md5-derived in BOTH engines (bit-exact parity,
+# verified in tests/test_pipeline.py), so even MinHash/SimHash/LSH results
+# are fully oracle-checked — not rows-only.
+# ===========================================================================
+
+from .pipeline import dedup as DD  # noqa: E402
+from .pipeline import multimodal as MM  # noqa: E402
+from .pipeline import simsearch as SS  # noqa: E402
+from .pipeline import textstats as TS  # noqa: E402
+
+# shared SQL fragments (keep in lockstep with functions/text.py)
+_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+       unnest(list_transform(range(1, GREATEST(len(ts) - 1, 1)),
+              i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingle
+       FROM toks)
+"""
+
+
+def _sql_stoplist(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+from .functions import text as X  # noqa: E402
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup by content hash — the always-first 100 TB pass; one "
+    "shuffle on a 128-bit key.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+              WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(c::DOUBLE / (x.n + y.n - c), 4) AS jaccard
+    FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+    WHERE ROUND(c::DOUBLE / (x.n + y.n - c), 4) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs (threshold 0.5). The "
+    "shingle self-join is quadratic in shingle frequency — correct at "
+    "small scale and the verifier for the LSH path below.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def _minhash_perms_values() -> str:
+    rows = [
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(X.MINHASH_PERMS[: DD.NUM_HASHES])
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    perms(i, pa, pb) AS (VALUES {_minhash_perms_values()}),
+    base AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+                  % {X.MINHASH_M} AS BIGINT) AS h
+             FROM sh),
+    mh AS (SELECT doc_id, p.i AS i, MIN((p.pa * b.h + p.pb) % {X.MINHASH_M}) AS m
+           FROM base b CROSS JOIN perms p
+           GROUP BY doc_id, p.i),
+    bands AS (SELECT doc_id, i // {DD.ROWS_PER_BAND} AS band,
+              md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig
+              FROM mh GROUP BY doc_id, i // {DD.ROWS_PER_BAND})
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+    WHERE x.doc_id < y.doc_id
+    """,
+    doc="MinHash(16) + banded LSH(4×4) candidate pairs — the 100 TB "
+    "near-dup path: per-doc signatures in one groupBy, pairs via an "
+    "equi-join on band signatures. md5-salted hash family is bit-exact "
+    "in both engines, so the approximate result is still oracle-checked.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    th AS (SELECT doc_id,
+           unnest(list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))) AS h
+           FROM toks),
+    bits AS (SELECT doc_id, r.j AS j,
+             SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j) r
+             GROUP BY doc_id, r.j)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="32-bit SimHash fingerprints (term-frequency weighted); near-dups "
+    "differ in few bits. Documents with zero alphabetic tokens drop out "
+    "in both engines.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id, token_count, char_count, punct_count, stop_count,
+           ROUND(0.5 * LEAST(token_count / 100.0, 1.0)
+                 + 0.3 * (stop_count::DOUBLE / GREATEST(token_count, 1))
+                 + 0.2 * (1.0 - punct_count::DOUBLE / GREATEST(char_count, 1)),
+                 4) AS quality_score
+    FROM (SELECT doc_id,
+                 len({_TOKS}) AS token_count,
+                 CAST(length(text) AS BIGINT) AS char_count,
+                 CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_count,
+                 len(list_filter({_TOKS}, t -> t IN ({_sql_stoplist(X.STOPWORDS_EN)}))) AS stop_count
+          FROM documents)
+    """,
+    doc="Per-document token/char/punct/stopword counts + deterministic "
+    "quality score (length, stopword-ratio, punctuation-ratio mix).",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    f"""
+    SELECT doc_id, en_hits, fr_hits, de_hits,
+           CASE WHEN en_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+                WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                WHEN fr_hits >= de_hits THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM (SELECT doc_id,
+            len(list_filter({_TOKS}, t -> t IN ({_sql_stoplist(X.STOPWORDS_EN)}))) AS en_hits,
+            len(list_filter({_TOKS}, t -> t IN ({_sql_stoplist(X.STOPWORDS_FR)}))) AS fr_hits,
+            len(list_filter({_TOKS}, t -> t IN ({_sql_stoplist(X.STOPWORDS_DE)}))) AS de_hits
+          FROM documents)
+    """,
+    doc="Stopword-family language-ID heuristic, deterministic tiebreak "
+    "en > fr > de, 'und' when nothing matches.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_TOKS},
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % {X.FINGERPRINT_MOD}) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-sensitive polynomial rolling fingerprint over token "
+    "hashes — reordered documents hash differently, unlike shingle-bag "
+    "methods.",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_EMB_CTE = (
+    "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+    "AS emb FROM embeddings)"
+)
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH {_EMB_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 8),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qemb", b="c.emb")}, 6) AS cos
+               FROM e c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 for 8 query vectors — the exactness "
+    "baseline for ANN. Cosine is a sequential double fold in both "
+    "engines (bit-exact), ties broken on neighbor_id.",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ann_oracle() -> str:
+    rows = []
+    for p, row in enumerate(SS.hyperplanes()):
+        arr = ", ".join(repr(x) for x in row)
+        rows.append(f"({p}, [{arr}]::DOUBLE[])")
+    planes_values = ",\n        ".join(rows)
+    return f"""
+    WITH {_EMB_CTE},
+    planes(p, vec) AS (VALUES
+        {planes_values}),
+    bk AS (SELECT e.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(e.emb, planes.vec) >= 0
+                    THEN CAST(1 AS BIGINT) << planes.p ELSE 0 END) AS BIGINT) AS bucket
+           FROM e CROSS JOIN planes GROUP BY e.vec_id),
+    eb AS (SELECT e.vec_id, e.emb, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+    q AS (SELECT vec_id AS query_id, emb AS qemb, bucket FROM eb WHERE vec_id < 8),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qemb", b="c.emb")}, 6) AS cos
+               FROM eb c JOIN q ON c.bucket = q.bucket
+               WHERE c.vec_id <> q.query_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    _ann_oracle(),
+    doc="LSH-bucketed approximate top-k: random-hyperplane bucket "
+    "(8 md5-derived planes, identical literals in both engines) replaces "
+    "the cross product with an equi-join — the 100 TB ANN path. "
+    "Approximate recall, but deterministically so: fully oracle-checked.",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMB_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS.format(a="a.emb", b="b.emb")}, 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND({_COS.format(a="a.emb", b="b.emb")}, 4) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4 for this "
+    "corpus). Brute-force; ann_lsh_topk's bucket join is the scale path.",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256  -- DuckDB 1.0 sha256 takes VARCHAR; same UTF-8 bytes
+    FROM documents
+    """,
+    doc="Multimodal metadata projection: binary payload column + typed "
+    "metadata struct (mime, n_bytes, sha256). Payload here is the "
+    "deterministic UTF-8 stand-in (media libs not in container, "
+    "SURVEY.md §2.11); the binary plumbing and mapInPandas feature "
+    "extraction are real and tested.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return MM.multimodal_meta(load_table(spark, sf_dir, "documents"))

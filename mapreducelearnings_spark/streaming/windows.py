@@ -1,0 +1,87 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference has no streaming at all; the batch windowed aggregation
+(queries.py: window_events) is the semantic contract, and this module
+runs the SAME aggregation expression under Structured Streaming —
+``F.window`` is identical in both modes, which is the whole point of
+declaring it once.
+
+Scale notes: the streaming aggregation is stateful; the watermark bounds
+state (late events beyond it are dropped), and state lives in the
+checkpoint store partitioned by group key — the standard 1000-executor
+deployment shape. Here it is exercised with a file source +
+``availableNow`` trigger (bounded backfill run), the pattern used to
+replay history into a streaming pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw schema of the events parquet as read with nanosAsLong (see
+# catalog.load_table): ts arrives as long nanoseconds.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """The shared batch/streaming aggregation: tumbling-window counts and
+    value sums per event type. Works unchanged on a batch DataFrame or a
+    streaming one (modulo the watermark added by the caller)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "30 minutes"
+) -> DataFrame:
+    """File-source stream over the events parquet with event-time
+    watermarking. Late rows beyond the watermark are dropped; state for
+    closed windows is evicted — the property that keeps a 100 TB/day
+    stream's state bounded."""
+    # file stream sources take a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events.withWatermark("ts", watermark)
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "windowed_events"
+) -> None:
+    """Backfill pattern: availableNow trigger drains the source, writes
+    complete-mode window aggregates to an in-memory sink, terminates."""
+    agg = windowed_counts(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

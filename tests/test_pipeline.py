@@ -1,0 +1,136 @@
+"""LLM-pipeline layer tests: dedup recall/precision relationships,
+multimodal plumbing, streaming/batch equivalence, scale-plan assertions.
+Oracle parity itself is covered by test_oracle_parity (all pipeline
+queries are oracle-checked — none are rows-only).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducelearnings_spark.catalog import load_table
+from mapreducelearnings_spark.pipeline import dedup as DD
+from mapreducelearnings_spark.pipeline import multimodal as MM
+from mapreducelearnings_spark.pipeline import simsearch as SS
+from mapreducelearnings_spark.queries import REGISTRY
+from mapreducelearnings_spark.streaming import windows as SW
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+def test_lsh_candidates_cover_high_jaccard_pairs(spark, sf_dir):
+    """LSH(16,4×4) must recall every pair with very high Jaccard: a pair
+    with J ≈ 0.97 collides in some band with overwhelming probability,
+    and on this corpus recall is exact — the LSH-vs-exact relationship
+    the two dedup strategies are designed around."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in DD.lsh_candidate_pairs(docs).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    assert exact <= lsh, f"LSH missed high-similarity pairs: {exact - lsh}"
+
+
+def test_simhash_near_dups_have_close_fingerprints(spark, sf_dir):
+    """Near-duplicate documents (by Jaccard) should differ in few SimHash
+    bits; random pairs should differ in many."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = {r["doc_id"]: r["simhash"] for r in DD.simhash_fingerprints(docs).collect()}
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert pairs
+    for r in pairs:
+        hamming = bin(sim[r["doc_a"]] ^ sim[r["doc_b"]]).count("1")
+        assert hamming <= 8, (r["doc_a"], r["doc_b"], hamming)
+
+
+def test_exact_dedup_no_dups_at_this_sf(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    groups = DD.exact_dedup_groups(docs)
+    assert groups.agg(F.sum("n_dups")).first()[0] == docs.count()
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def test_ann_results_subset_of_bruteforce_scores(spark, sf_dir):
+    """Every ANN hit must carry the same cosine the brute-force path
+    computes for that pair (ANN restricts candidates, never rescores)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in SS.cosine_topk(emb, n_queries=8, k=500).collect()
+    }
+    ann = SS.lsh_ann_topk(emb, n_queries=8, k=5).collect()
+    assert ann
+    for r in ann:
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["cos"]
+
+
+def test_bruteforce_topk_is_sorted_and_k_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = SS.cosine_topk(emb, n_queries=4, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction_runs_arrow_batched(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mm = MM.attach_payload(docs)
+    feats = MM.extract_features(mm, fake=True).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:10]:
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # normalized histogram
+
+
+def test_multimodal_decode_stub_raises_without_fake(spark, sf_dir):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_batch(pd.Series([b"bytes"]), fake=False)
+
+
+def test_multimodal_meta_prunes_payload_on_stored_table(spark, sf_dir, tmp_path):
+    """The 100 TB property: metadata queries on a STORED multimodal table
+    must not read payload bytes (struct/column pruning to the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "mm.parquet")
+    MM.attach_payload(docs).write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = stored.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"))
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "payload" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+# --- streaming --------------------------------------------------------------
+
+
+def test_streaming_window_agg_matches_batch(spark, sf_dir):
+    """The same F.window aggregation, run under Structured Streaming
+    (file source, availableNow backfill, memory sink), must equal the
+    batch result — the §2.10 batch/stream contract."""
+    SW.run_stream_to_memory(spark, sf_dir, table_name="t_win")
+    stream_rows = {
+        tuple(r) for r in spark.sql("SELECT * FROM t_win").collect()
+    }
+    batch_rows = {
+        tuple(r)
+        for r in REGISTRY["window_events"].spark(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
