@@ -46,6 +46,10 @@ HEADLINE = [
     "similarity_topk",
     "ann_lsh_topk",
     "multimodal_meta",
+    # UDF surface + windows + paths (SURVEY.md §2.9–2.10)
+    "udaf_weighted_avg",
+    "session_windows",
+    "sssp_paths",
 ]
 
 

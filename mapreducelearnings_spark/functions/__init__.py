@@ -1,3 +1,3 @@
-from . import text, vector
+from . import skew, text, vector
 
-__all__ = ["text", "vector"]
+__all__ = ["skew", "text", "vector"]

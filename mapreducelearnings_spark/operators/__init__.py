@@ -1,3 +1,3 @@
-from . import relational
+from . import graph, kmeans, rdd_parity, relational, udfs
 
-__all__ = ["relational"]
+__all__ = ["graph", "kmeans", "rdd_parity", "relational", "udfs"]

@@ -244,3 +244,79 @@ def triangle_count(edges: DataFrame, broadcast_probe: bool = False) -> DataFrame
         c, (F.col("b.dst") == F.col("c.src")) & (F.col("c.dst") == F.col("a.src"))
     )
     return cycles.agg(F.expr("count(1) div 3").alias("triangles"))
+
+
+# ---------------------------------------------------------------------------
+# SSSP with path reconstruction (ShortestPathMR parity)
+# ---------------------------------------------------------------------------
+
+
+def sssp_with_paths(
+    spark: SparkSession,
+    edges: DataFrame,
+    source,
+    max_iter: int = 64,
+    loop_partitions: int | None = 8,
+) -> DataFrame:
+    """SSSP distances + one canonical shortest path per reachable vertex
+    (vertex, dist, path) — the capability of ShortestPathMR's
+    predecessor-string tracking (ShortestPathMR/src/main/java/wc/
+    CountFollowers.java:81-112), with a cleaner deterministic spec:
+
+    the path is taken through the MIN-PREDECESSOR tree — pred(v) is the
+    smallest vertex u with an edge u→v and dist(u) = dist(v) − 1. This
+    pins tie-breaking among equal-length paths (the reference's outcome
+    depends on reducer iteration order), making the result reproducible
+    and oracle-checkable. Cost: the distance fixpoint, one join to build
+    the predecessor forest, then depth-many tiny joins to unroll paths —
+    all linear in |V| + |E|.
+    """
+    dist = sssp(spark, edges, source, max_iter, loop_partitions).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    reach = dist.where(F.col("dist") != INF)
+    dsrc = reach.select(
+        F.col("vertex").alias("p_src"), F.col("dist").alias("d_src")
+    )
+    ddst = reach.select(
+        F.col("vertex").alias("p_dst"), F.col("dist").alias("d_dst")
+    )
+    pred = (
+        edges.join(dsrc, edges.src == dsrc.p_src)
+        .join(ddst, edges.dst == ddst.p_dst)
+        .where(F.col("d_src") == F.col("d_dst") - 1)
+        .groupBy(F.col("dst").alias("vertex"))
+        .agg(F.min("src").alias("pred"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    max_d = reach.agg(F.max("dist")).first()[0] or 0.0
+
+    paths = reach.where(F.col("vertex") == source).select(
+        "vertex", "dist", F.array(F.col("vertex")).alias("path")
+    )
+    frontier = paths
+    with _loop_shuffle_partitions(spark, loop_partitions):
+        for _d in range(int(max_d)):
+            nxt = (
+                pred.join(
+                    frontier.select(
+                        F.col("vertex").alias("pred"), F.col("path").alias("ppath")
+                    ),
+                    "pred",
+                )
+                .join(reach, "vertex")
+                .select(
+                    "vertex",
+                    "dist",
+                    F.concat(F.col("ppath"), F.array(F.col("vertex"))).alias("path"),
+                )
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            paths = paths.unionByName(nxt)
+            frontier = nxt
+    out = paths
+    dist.unpersist()
+    pred.unpersist()
+    return out

@@ -973,3 +973,131 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.multimodal_meta(load_table(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# §2.9 UDF/UDAF surface, §2.10 session windows, ShortestPathMR paths,
+# skew-salted twins — remaining SURVEY coverage.
+# ===========================================================================
+
+from .functions import skew as SK  # noqa: E402
+from .operators import udfs as U  # noqa: E402
+
+
+@register(
+    "udf_discounted_price",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
+    FROM lineitem
+    """,
+    doc="Scalar Pandas-UDF surface (Arrow-batched, §2.9): deliberately a "
+    "builtin-expressible function so the UDF machinery itself is "
+    "oracle-checked. Hot paths never use UDFs; this is the escape hatch "
+    "demonstrator (multimodal decode rides the same mechanism).",
+)
+def q_udf_discounted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.discounted_prices(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "udaf_weighted_avg",
+    """
+    SELECT l_suppkey,
+           ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_extendedprice), 4)
+             AS w_avg_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="Grouped-aggregate Pandas UDAF (§2.9): price-weighted mean "
+    "quantity per supplier — the aggregateByKey / ClusterReducer custom "
+    "reduction shape (K-means/.../CountFollowers.java:115-143).",
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.weighted_avg_quantity(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "session_windows",
+    """
+    WITH o AS (SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+               FROM events),
+    s AS (SELECT user_id, ts, value,
+          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id,
+           -- FLOOR before the cast: Spark's unix_timestamp truncates
+           -- sub-second parts; DuckDB's double→int cast would round
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Per-user session windows (30-minute inactivity gap) over events "
+    "— F.session_window, the stateful-window surface that runs unchanged "
+    "under Structured Streaming; oracle is the classic gaps-and-islands "
+    "construction. Spark closes a session when the next event is >= gap "
+    "after the previous one (window end is exclusive).",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sssp_paths",
+    f"""
+    WITH RECURSIVE e AS ({GRAPH_EDGES_SQL}),
+    bfs AS (
+        SELECT CAST(1 AS BIGINT) AS v, 0 AS d
+        UNION
+        SELECT e.dst AS v, b.d + 1 AS d FROM bfs b JOIN e ON e.src = b.v
+        WHERE b.d < 128
+    ),
+    md AS (SELECT v, MIN(d) AS d FROM bfs GROUP BY v),
+    pred AS (SELECT e.dst AS v, MIN(e.src) AS p
+             FROM e JOIN md a ON e.src = a.v JOIN md b ON e.dst = b.v
+             WHERE a.d = b.d - 1 GROUP BY e.dst),
+    paths AS (
+        SELECT CAST(1 AS BIGINT) AS v, [CAST(1 AS BIGINT)] AS path
+        UNION ALL
+        SELECT pr.v, pa.path || [pr.v] FROM paths pa JOIN pred pr ON pr.p = pa.v
+        WHERE len(pa.path) < 129
+    )
+    SELECT paths.v AS vertex, CAST(md.d AS DOUBLE) AS dist, paths.path AS path
+    FROM paths JOIN md ON paths.v = md.v
+    """,
+    doc="SSSP with one canonical shortest path per reachable vertex — "
+    "ShortestPathMR's predecessor tracking (ShortestPathMR/.../"
+    "CountFollowers.java:81-112) with deterministic min-predecessor "
+    "tie-breaking (the reference's path depends on reducer iteration "
+    "order). Oracle reconstructs the same min-predecessor tree.",
+)
+def q_sssp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.sssp_with_paths(spark, graph_edges(spark, sf_dir), source=1)
+
+
+@register(
+    "salted_follower_count",
+    f"SELECT dst, COUNT(*) AS cnt FROM ({FOLLOWER_EDGES_SQL}) GROUP BY dst",
+    doc="Skew-salted twin of follower_count: two-level (key, salt) "
+    "aggregation spreads a hot key over 16 tasks; result identical by "
+    "construction (same oracle). AQE skew-join covers joins; salting "
+    "covers skewed aggregations.",
+)
+def q_salted_follower_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SK.salted_count(follower_edges(spark, sf_dir), "dst")

@@ -1,0 +1,114 @@
+"""Sources & sinks (SURVEY.md §2.1) — every scan/sink shape the
+reference uses, normalized onto Spark's DataFrame reader/writer with
+explicit schemas.
+
+Reference shapes covered (behavior studied, no code taken):
+- text-file scan  → ``read_text``    (sc.textFile, ReduceByKey/.../FollowersCount.scala:25)
+- CSV scan        → ``read_csv``     (SingleSourceShortestPathDataSet/.../FollowerCount.scala:29;
+                     schemaless there — we always require a schema)
+- local collection→ ``from_rows``    (sc.parallelize / toDF,
+                     PageRankRDD/.../FollowerCount.scala:54-55)
+- text/CSV sink w/ separator → ``write_csv`` (saveAsTextFile + the MR
+                     textoutputformat separator, RepJoin/.../CountFollowers.java:130)
+- parquet is the engine's canonical storage (columnar, splittable,
+  predicate/projection pushdown — the 100 TB default).
+
+Also here: ``write_bucketed`` + ``read_table`` — bucketed tables make
+repeated equi-joins/aggregations on the bucket key exchange-free, the
+engine's durable answer to the reference's HashPartitioner co-partitioning
+(PageRankRDD/.../FollowerCount.scala:53-55).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented scan: one ``value: string`` column per line."""
+    return spark.read.text(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV scan with a REQUIRED schema — schema-on-read inference does a
+    full extra pass and guesses types; at 100 TB both are unacceptable."""
+    return spark.read.csv(path, schema=schema, sep=sep, header=header)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    return spark.read.json(path, schema=schema)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def from_rows(
+    spark: SparkSession, rows: list, schema: T.StructType | str
+) -> DataFrame:
+    """Driver collection → distributed dataset (small seeds/dimensions
+    only; anything data-sized belongs in storage, not the driver)."""
+    return spark.createDataFrame(rows, schema)
+
+
+def parse_edge_lines(lines: DataFrame, sep: str = ",") -> DataFrame:
+    """The reference's universal input parse: ``follower,followee`` text
+    lines → typed (src, dst) columns
+    (ReduceByKey/.../FollowersCount.scala:26-27 split-by-comma).
+    Malformed rows (missing field, non-numeric) are dropped — the
+    reference's row-level sanity predicates
+    (K-means/.../CountFollowers.java:38; RepJoin:49)."""
+    parts = F.split(F.col("value"), sep)
+    # try_cast, not cast: ANSI mode (Spark 4 default) throws on malformed
+    # input; the reference's behavior is drop-bad-rows
+    return (
+        lines.select(
+            parts.getItem(0).try_cast("long").alias("src"),
+            F.try_element_at(parts, F.lit(2)).try_cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, sep: str = ",", mode: str = "overwrite"
+) -> None:
+    """CSV sink with separator — the reference's text sinks
+    (saveAsTextFile; MR separator option)."""
+    df.write.mode(mode).option("sep", sep).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist bucketed by join/group key: downstream equi-joins and
+    aggregations on ``bucket_col`` between tables bucketed the same way
+    run WITHOUT a shuffle (asserted in tests). This is the durable form
+    of the reference's in-memory HashPartitioner co-partitioning."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -19,7 +19,17 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", shuffle_partitions=8)
+    import tempfile
+
+    s = get_spark(
+        "pytest",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf — must be set at session build, used by the
+            # bucketed-table tests
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="mrl_wh_")
+        },
+    )
     yield s
 
 

@@ -1,0 +1,127 @@
+"""Sources/sinks round-trips, RDD-strategy parity, salting equivalence,
+bucketed-join exchange elimination, SSSP path reconstruction.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreducelearnings_spark.catalog import follower_edges, load_table
+from mapreducelearnings_spark.functions import skew as SK
+from mapreducelearnings_spark.operators import graph as G
+from mapreducelearnings_spark.operators import rdd_parity as RP
+from mapreducelearnings_spark.operators import relational as R
+from mapreducelearnings_spark.sources import io as IO
+
+
+# --- sources / sinks --------------------------------------------------------
+
+
+def test_csv_roundtrip_with_separator(spark, sf_dir, tmp_path):
+    """Text sink with separator (RepJoin/.../CountFollowers.java:130) and
+    schema-required CSV scan round-trip losslessly."""
+    edges = follower_edges(spark, sf_dir).limit(500)
+    path = str(tmp_path / "edges_csv")
+    IO.write_csv(edges, path, sep="|")
+    back = IO.read_csv(spark, path, "src BIGINT, dst BIGINT", sep="|")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, edges.collect()))
+
+
+def test_text_scan_and_edge_parse_drops_malformed(spark, tmp_path):
+    """The reference's split-by-comma parse with row sanity predicates
+    (K-means/.../CountFollowers.java:38; RepJoin:49)."""
+    p = tmp_path / "edges.txt"
+    p.write_text("1,2\n3,4\nbad\n5,\n,6\nx,y\n7,8\n")
+    lines = IO.read_text(spark, str(p))
+    parsed = IO.parse_edge_lines(lines)
+    assert sorted(map(tuple, parsed.collect())) == [(1, 2), (3, 4), (7, 8)]
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_pq")
+    IO.write_parquet(docs, path)
+    assert IO.read_parquet(spark, path).count() == docs.count()
+
+
+def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with NO
+    Exchange — the durable co-partitioning that replaces the reference's
+    HashPartitioner(3) (PageRankRDD/.../FollowerCount.scala:53-55)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    IO.write_bucketed(orders, "t_orders_b", "o_custkey", 8, sort_col="o_custkey")
+    IO.write_bucketed(customer, "t_customer_b", "c_custkey", 8, sort_col="c_custkey")
+    o = IO.read_table(spark, "t_orders_b")
+    c = IO.read_table(spark, "t_customer_b")
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert joined.count() == orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+
+
+# --- RDD strategy parity ----------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", RP.STRATEGIES)
+def test_rdd_strategies_match_dataframe_path(spark, sf_dir, strategy):
+    """All four reference *ByKey modules compute the same grouped count;
+    each RDD twin must equal the engine's DataFrame path."""
+    edges = follower_edges(spark, sf_dir)
+    expect = sorted(map(tuple, R.follower_count(edges).collect()))
+    got = sorted(map(tuple, RP.follower_count_rdd(spark, edges, strategy).collect()))
+    assert got == expect
+
+
+# --- salting ----------------------------------------------------------------
+
+
+def test_salted_aggregations_match_direct(spark, sf_dir):
+    edges = follower_edges(spark, sf_dir)
+    direct = sorted(map(tuple, R.follower_count(edges).collect()))
+    salted = sorted(map(tuple, SK.salted_count(edges, "dst").collect()))
+    assert salted == direct
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k"), F.col("l_quantity").alias("v")
+    )
+    a = {r["k"]: round(r["val_sum"], 6) for r in SK.salted_sum(li, "k", "v").collect()}
+    b = {
+        r["k"]: round(r["val_sum"], 6)
+        for r in li.groupBy("k").agg(F.sum("v").alias("val_sum")).collect()
+    }
+    assert a == b
+
+
+# --- SSSP paths -------------------------------------------------------------
+
+
+def test_sssp_paths_micro_graph(spark):
+    """Hand-solved: 1→2→3, 1→4→3 (tie on 3 broken by min-predecessor 2),
+    3→1 cycle, 5→6 unreachable."""
+    rows = [(1, 2), (2, 3), (1, 4), (4, 3), (3, 1), (5, 6)]
+    edges = spark.createDataFrame(rows, "src: long, dst: long")
+    got = {r["vertex"]: (r["dist"], list(r["path"])) for r in
+           G.sssp_with_paths(spark, edges, 1).collect()}
+    assert got[1] == (0.0, [1])
+    assert got[2] == (1.0, [1, 2])
+    assert got[4] == (1.0, [1, 4])
+    assert got[3] == (2.0, [1, 2, 3])  # min-predecessor tiebreak: via 2, not 4
+    assert 5 not in got and 6 not in got  # unreachable ⇒ no path row
+
+
+def test_sssp_paths_distances_consistent_with_sssp(spark, sf_dir):
+    from mapreducelearnings_spark.catalog import graph_edges
+
+    edges = graph_edges(spark, sf_dir)
+    plain = {
+        r["vertex"]: r["dist"]
+        for r in G.sssp(spark, edges, 1).collect()
+        if r["dist"] != G.INF
+    }
+    withp = {r["vertex"]: r["dist"] for r in G.sssp_with_paths(spark, edges, 1).collect()}
+    assert plain == withp
