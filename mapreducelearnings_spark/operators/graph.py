@@ -22,31 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from contextlib import contextmanager
-
-from ..plans.iterate import iterate
+from ..plans.iterate import iterate, loop_conf
 
 INF = float("inf")
 
-
-@contextmanager
-def _loop_shuffle_partitions(spark: SparkSession, n: int | None):
-    """Scoped shuffle-partition override for iterative loops on small
-    state — the Spark-native form of the reference's HashPartitioner(3)
-    (PageRankRDD/.../FollowerCount.scala:53). Iterating a 10⁴-row graph
-    through 64-partition shuffles pays ~100 task launches per iteration
-    for nothing; on a real cluster callers size this to the graph, not
-    to the session default."""
-    if n is None:
-        yield
-        return
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, old)
+# scoped small-state loop tuning (partitions + AQE); see plans.iterate
+_loop_shuffle_partitions = loop_conf
 
 
 # ---------------------------------------------------------------------------
@@ -296,6 +277,10 @@ def sssp_with_paths(
     )
     frontier = paths
     with _loop_shuffle_partitions(spark, loop_partitions):
+        # pure-lazy unroll: depth is bounded by max_d (small for real
+        # graphs' diameters), frontiers persist lazily, and the whole
+        # forest materializes in ONE job at the caller's action — no
+        # per-depth checkpoint/isEmpty round-trips.
         for _d in range(int(max_d)):
             nxt = (
                 pred.join(
@@ -310,13 +295,11 @@ def sssp_with_paths(
                     "dist",
                     F.concat(F.col("ppath"), F.array(F.col("vertex"))).alias("path"),
                 )
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
             paths = paths.unionByName(nxt)
             frontier = nxt
-    out = paths
+        out = paths.localCheckpoint(eager=True)
     dist.unpersist()
     pred.unpersist()
     return out

