@@ -50,6 +50,10 @@ HEADLINE = [
     "udaf_weighted_avg",
     "session_windows",
     "sssp_paths",
+    # SQL surface + composite join plans + reference k-means pipeline
+    "sql_revenue_by_nation",
+    "shipping_priority",
+    "kmeans_followers",
 ]
 
 

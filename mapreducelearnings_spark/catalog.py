@@ -173,3 +173,11 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 100).alias("src"), (F.col("l_partkey") % 100).alias("dst")
     )
     return e1.unionByName(e2).where(F.col("src") != F.col("dst")).distinct()
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the catalog as temp views so users can query in pure SQL
+    (``spark.sql``) — the engine's SQL surface over the same tables the
+    DataFrame API uses."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

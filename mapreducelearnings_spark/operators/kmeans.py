@@ -36,15 +36,19 @@ def seed_centroids(points: DataFrame, value_col: str, k: int) -> list[float]:
     return [first * j for j in range(1, k + 1)]
 
 
-def _assign_expr(centroids: list[float]) -> F.Column:
-    """argmin over literal centroids: array_min of (|x−c|, cid) structs —
-    lexicographic struct ordering gives the lowest-cid tiebreak."""
+def _assign_expr(centroids: dict[int, float]) -> F.Column:
+    """argmin over literal (cid → centroid) pairs: array_min of
+    (|x−c|, cid) structs — lexicographic struct ordering gives the
+    lowest-cid tiebreak. Centroids travel as a dict so cluster ids stay
+    STABLE when a cluster loses all members and vanishes (a positional
+    list silently re-numbers the survivors — a real bug caught by the
+    follower-count oracle)."""
     pairs = [
         F.struct(
             F.abs(F.col("x") - F.lit(float(c))).alias("d"),
-            F.lit(j + 1).cast("long").alias("cid"),
+            F.lit(cid).cast("long").alias("cid"),
         )
-        for j, c in enumerate(centroids)
+        for cid, c in sorted(centroids.items())
     ]
     return F.array_min(F.array(*pairs))["cid"]
 
@@ -73,7 +77,9 @@ def kmeans_1d(
         .agg(F.count(F.lit(1)).alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    centroids = seed_centroids(weighted, "x", k)
+    centroids = {
+        j + 1: c for j, c in enumerate(seed_centroids(weighted, "x", k))
+    }
 
     rounds = fixed_iterations if fixed_iterations is not None else max_iter
     with loop_conf(points.sparkSession, 8):
@@ -84,22 +90,23 @@ def kmeans_1d(
                 .agg((F.sum(F.col("x") * F.col("w")) / F.sum("w")).alias("c"))
                 .collect()
             )
-            new_centroids = [
-                float(r["c"]) if not compat_truncate else float(int(r["c"]))
-                for r in sorted(updated, key=lambda r: r["cid"])
-            ]
+            new_centroids = {
+                int(r["cid"]): (
+                    float(r["c"]) if not compat_truncate else float(int(r["c"]))
+                )
+                for r in updated
+            }
             if fixed_iterations is None and new_centroids == centroids:
                 break
             centroids = new_centroids
 
-    cents = {j + 1: c for j, c in enumerate(centroids)}
     final = (
         weighted.select("x", "w", _assign_expr(centroids).alias("cid"))
         .groupBy("cid")
         .agg(F.sum("w").alias("n_points"))
     )
     expr = F.lit(None).cast("double")
-    for cid, c in cents.items():
+    for cid, c in centroids.items():
         expr = F.when(F.col("cid") == cid, F.lit(c)).otherwise(expr)
     out = final.select(
         F.col("cid").alias("cluster_id"), expr.alias("centroid"), "n_points"

@@ -1101,3 +1101,155 @@ def q_sssp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_salted_follower_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.salted_count(follower_edges(spark, sf_dir), "dst")
+
+
+# ===========================================================================
+# Reference-pipeline parity + SQL surface + multi-join analytics
+# ===========================================================================
+
+
+def _kmeans_oracle_over(pts_sql: str, k: int, rounds: int) -> str:
+    """Unrolled k-means oracle over an arbitrary (x, w) weighted source."""
+    parts = [
+        f"WITH pts AS ({pts_sql}),",
+        f"c0 AS (SELECT CAST(j AS BIGINT) AS cid, (SELECT MAX(x) FROM pts) / {k}.0 * j AS c "
+        f"FROM range(1, {k + 1}) t(j)),",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"a{i} AS (SELECT p.x, p.w, "
+            f"(MIN({{'d': abs(p.x - c.c), 'cid': c.cid}})).cid AS cid "
+            f"FROM pts p CROSS JOIN c{i - 1} c GROUP BY p.x, p.w),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT cid, SUM(x * w) / SUM(w) AS c FROM a{i} GROUP BY cid),"
+        )
+    parts.append(
+        f"afin AS (SELECT p.x, p.w, "
+        f"(MIN({{'d': abs(p.x - c.c), 'cid': c.cid}})).cid AS cid "
+        f"FROM pts p CROSS JOIN c{rounds} c GROUP BY p.x, p.w)"
+    )
+    parts.append(
+        f"SELECT a.cid AS cluster_id, ROUND(c.c, 4) AS centroid, "
+        f"CAST(SUM(a.w) AS BIGINT) AS n_points FROM afin a "
+        f"JOIN c{rounds} c ON a.cid = c.cid GROUP BY a.cid, c.c"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_followers",
+    _kmeans_oracle_over(
+        "SELECT CAST(c AS DOUBLE) AS x, CAST(COUNT(*) AS BIGINT) AS w FROM "
+        "(SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY l_suppkey) "
+        "GROUP BY c",
+        _KM_K,
+        _KM_ROUNDS,
+    ),
+    doc="The reference's ACTUAL k-means pipeline: the follower-count "
+    "output feeds the clustering (K-means job 1 → job 2, "
+    "K-means/.../CountFollowers.java:148-200) — counts per supplier "
+    "clustered into k=4 with the same seeding/assignment semantics.",
+)
+def q_kmeans_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    out = KM.kmeans_1d(counts, "c", k=_KM_K, fixed_iterations=_KM_ROUNDS)
+    return out.select(
+        "cluster_id", F.round("centroid", 4).alias("centroid"), "n_points"
+    )
+
+
+@register(
+    "triangle_count_capped",
+    f"""
+    WITH e AS (SELECT * FROM ({GRAPH_EDGES_SQL}) WHERE src <= 50 AND dst <= 50)
+    SELECT COUNT(*) // 3 AS triangles
+    FROM e a JOIN e b ON a.dst = b.src JOIN e c
+      ON b.dst = c.src AND c.dst = a.src
+    """,
+    doc="Triangle count with the reference's id-cap down-sampling filter "
+    "applied first (RepJoin/.../CountFollowers.java:55,90 caps ids at "
+    "1000; cap=50 here to bite on the 0..99 vertex space). The filter "
+    "composes declaratively and prunes before the joins.",
+)
+def q_triangle_count_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capped = R.max_filter(graph_edges(spark, sf_dir), 50)
+    return G.triangle_count(capped, broadcast_probe=False)
+
+
+_REVENUE_BY_NATION_SQL = """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_name
+"""
+
+
+@register(
+    "sql_revenue_by_nation",
+    _REVENUE_BY_NATION_SQL,
+    doc="SQL-surface demonstrator: the engine registers the catalog as "
+    "temp views and runs ANSI SQL through spark.sql — the same 5-way "
+    "join (local-supplier revenue) Catalyst plans with broadcast dims + "
+    "shuffle facts. Declared once, identical text runs on DuckDB.",
+)
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    doc="Join + filter + aggregate + top-k in one plan (shipping-priority "
+    "shape): selective filters push into all three scans, the order-key "
+    "aggregation rides the join shuffle, top-k is a per-partition heap. "
+    "The composite-plan benchmark shape for the 100 TB story.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    joined = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        )
+    )
+    return R.top_k(joined, [F.desc("revenue"), F.asc("l_orderkey")], 10)
