@@ -112,3 +112,17 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout — the 100 TB organizing
+    principle for low-cardinality filter columns: a reader filtering on
+    a partition column prunes whole directories BEFORE listing files
+    (PartitionFilters in the scan, asserted in tests), so a day/segment
+    query touches 1/N of the data without an index."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

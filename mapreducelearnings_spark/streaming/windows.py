@@ -85,3 +85,69 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (SURVEY.md §2.10: the
+# applyInPandasWithState surface for operators the built-in windows
+# can't express).
+# ---------------------------------------------------------------------------
+
+
+def running_user_totals_stream(events):
+    """Per-user running event count + value sum, maintained as custom
+    keyed state via ``applyInPandasWithState`` — the engine's surface
+    for stateful logic beyond windows (per-key model state, CEP-ish
+    accumulators). State is one tiny tuple per user, hash-partitioned by
+    the group key across executors.
+
+    NoTimeout by design: a running total never expires. (Operators that
+    DO evict idle state must pair a timeout with ``state.remove()`` in
+    the timeout callback — re-arming the timeout on every invocation
+    keeps scheduling wake-up microbatches and an availableNow drain
+    never terminates; observed live.)
+
+    Batch twin (for equivalence testing): groupBy(user_id).agg(count,
+    sum) — the stream's final state must equal it after draining a
+    bounded source.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = "user_id LONG, n_events LONG, sum_value DOUBLE"
+    state_schema = "n LONG, s DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_stream_to_memory(
+    spark, sf_dir: str, table_name: str = "user_totals"
+) -> None:
+    """Drain the bounded events source through the stateful operator
+    (availableNow) into a memory sink; the LAST update per user is the
+    final running total."""
+    agg = running_user_totals_stream(stream_events(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,52 @@
+"""Partition-pruned layouts and the custom stateful streaming operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreducelearnings_spark.catalog import load_table
+from mapreducelearnings_spark.sources import io as IO
+from mapreducelearnings_spark.streaming import windows as SW
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on the partition column must show up as a PartitionFilter
+    (directory pruning), not a data filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_part")
+    IO.write_partitioned(li, path, ["l_returnflag"])
+    back = IO.read_parquet(spark, path).where(F.col("l_returnflag") == "R")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    assert back.count() == li.where(F.col("l_returnflag") == "R").count()
+
+
+def test_stateful_stream_totals_match_batch(spark, sf_dir):
+    """Drain the bounded events source through applyInPandasWithState;
+    the final running total per user must equal the batch aggregation
+    (the reference-free §2.10 stateful surface, equivalence-tested the
+    same way the windowed agg is)."""
+    SW.run_stateful_stream_to_memory(spark, sf_dir, table_name="t_totals")
+    # update-mode sink emits one row per (microbatch, user); the final
+    # state per user is the row with the highest n_events
+    stream = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            """
+            SELECT user_id, n_events, sum_value FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY n_events DESC) AS rn
+              FROM t_totals) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert stream == batch
