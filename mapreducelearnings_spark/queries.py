@@ -1253,3 +1253,67 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return R.top_k(joined, [F.desc("revenue"), F.asc("l_orderkey")], 10)
+
+
+# ===========================================================================
+# Token counting (BPE-ish) + document frequency / IDF
+# ===========================================================================
+
+# GPT-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# word/number runs, punctuation runs. Same RE2-compatible pattern string
+# feeds Spark and DuckDB (parity verified in tests).
+BPE_ISH_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+_BPE_SQL = BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "token_counts_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL}')) AS BIGINT)
+             AS n_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    doc="Token counting two ways (SURVEY.md §2.11): a BPE-ish "
+    "pre-tokenizer regex (contractions / space-prefixed runs / "
+    "punctuation runs — the GPT pre-tokenizer shape) next to plain word "
+    "tokens. The budget-estimation primitive for LLM data pipelines.",
+)
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), 0)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(X.tokens("text")).cast("long").alias("n_words"),
+    )
+
+
+@register(
+    "token_doc_frequency",
+    f"""
+    WITH dt AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS token FROM documents),
+    n AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT token, COUNT(*) AS df,
+           ROUND(LN((SELECT nd FROM n) / COUNT(*)), 4) AS idf
+    FROM dt GROUP BY token
+    """,
+    doc="Document frequency + IDF per token — the corpus-statistics pass "
+    "behind TF-IDF quality filters and stopword discovery. One "
+    "explode-distinct + one grouped count; at 100 TB the distinct rides "
+    "the same shuffle as the count (partial aggregation).",
+)
+def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dt = docs.select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    ).distinct()
+    return dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.round(F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 4).alias("idf"),
+    )
