@@ -32,3 +32,12 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def normalize_with(a: Column, norm_col: Column) -> Column:
+    """Unit-normalize against a PRE-MATERIALIZED norm column so pairwise
+    cosine collapses to a single dot fold — O(pairs·d) instead of
+    O(3·pairs·d). The norm must be a plain column, not the norm() fold
+    inline: expressions captured in HOF lambdas re-evaluate per element,
+    which would recompute the fold d times per row."""
+    return F.transform(a, lambda x: x / norm_col)

@@ -47,6 +47,18 @@ def _emb_double(df: DataFrame) -> DataFrame:
     )
 
 
+def _emb_normed(df: DataFrame) -> DataFrame:
+    """(vec_id, ne): unit-normalized double embedding. Norm materialized
+    as a column BEFORE the per-element divide (HOF-lambda capture would
+    otherwise recompute the fold per element), so every later pairwise
+    cosine is ONE dot fold."""
+    return (
+        _emb_double(df)
+        .withColumn("_n", V.norm(F.col("emb")))
+        .select("vec_id", V.normalize_with(F.col("emb"), F.col("_n")).alias("ne"))
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -56,18 +68,18 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos, rank); ordering tiebreak on
     neighbor_id keeps the row set deterministic under rounded ties.
     """
-    emb = _emb_double(embeddings)
+    emb = _emb_normed(embeddings)
     q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+            F.round(V.dot(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -106,12 +118,12 @@ def lsh_ann_topk(
     bucket. Equi-join on bucket replaces the full cross product — the
     100 TB path (bucket count scales 2^planes; skewed buckets split by
     AQE)."""
-    emb = _emb_double(embeddings).withColumn("bucket", _bucket_expr(F.col("emb")))
+    emb = _emb_normed(embeddings).withColumn("bucket", _bucket_expr(F.col("ne")))
     q = emb.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb"), "bucket"
     )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"), "bucket"
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -119,7 +131,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+            F.round(V.dot(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -140,16 +152,16 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t).
     Brute-force variant; the LSH bucket join above is the scale path."""
-    emb = _emb_double(embeddings)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    emb = _emb_normed(embeddings)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("eb"))
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(V.cosine(F.col("ea"), F.col("eb")), 4).alias("cos"),
+            F.round(V.dot(F.col("ea"), F.col("eb")), 4).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
