@@ -54,6 +54,11 @@ HEADLINE = [
     "sql_revenue_by_nation",
     "shipping_priority",
     "kmeans_followers",
+    # dedup clustering + distinct agg + token stats
+    "dedup_clusters",
+    "distinct_users_per_type",
+    "token_counts_bpe",
+    "token_doc_frequency",
 ]
 
 

@@ -303,3 +303,57 @@ def sssp_with_paths(
     dist.unpersist()
     pred.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 64,
+    loop_partitions: int | None = 8,
+) -> DataFrame:
+    """Undirected connected components via iterative min-label
+    propagation — the SURVEY.md §2.11 near-dedup clustering step
+    (candidate PAIRS become duplicate CLUSTERS), reusing the §2.8
+    fixpoint machinery: each vertex starts labeled with itself, every
+    iteration takes the min label over itself and its neighbors, stop
+    when no label changes.
+
+    Returns (vertex, component) with component = min vertex id in the
+    component. Convergence in O(diameter) iterations; each iteration is
+    one join + one min-aggregation, the same shuffle shape as SSSP.
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = sym.select(F.col("src").alias("vertex")).distinct()
+    labels0 = vertices.select("vertex", F.col("vertex").alias("component"))
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        neighbor_labels = (
+            sym.join(labels, sym.src == labels.vertex)
+            .select(sym.dst.alias("vertex"), "component")
+        )
+        return (
+            labels.unionByName(neighbor_labels)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+
+    def converged(old: DataFrame, new: DataFrame) -> bool:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "vertex")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+            == 0
+        )
+
+    with _loop_shuffle_partitions(spark, loop_partitions):
+        out = iterate(labels0, step, converged=converged, max_iter=max_iter)
+    sym.unpersist()
+    return out

@@ -1320,3 +1320,74 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("df"),
         F.round(F.log(F.lit(float(n_docs)) / F.count(F.lit(1))), 4).alias("idf"),
     )
+
+
+# ===========================================================================
+# Dedup clustering (connected components over LSH candidate pairs) +
+# distinct aggregation
+# ===========================================================================
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    perms(i, pa, pb) AS (VALUES {_minhash_perms_values()}),
+    base AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+                  % {X.MINHASH_M} AS BIGINT) AS h
+             FROM sh),
+    mh AS (SELECT doc_id, p.i AS i, MIN((p.pa * b.h + p.pb) % {X.MINHASH_M}) AS m
+           FROM base b CROSS JOIN perms p
+           GROUP BY doc_id, p.i),
+    bands AS (SELECT doc_id, i // {DD.ROWS_PER_BAND} AS band,
+              md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig
+              FROM mh GROUP BY doc_id, i // {DD.ROWS_PER_BAND}),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+              WHERE x.doc_id < y.doc_id),
+    sym AS (SELECT DISTINCT s, d FROM
+            (SELECT a AS s, b AS d FROM pairs
+             UNION ALL SELECT b AS s, a AS d FROM pairs)),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.d AS v, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    )
+    SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    """,
+    doc="Near-duplicate CLUSTERS: undirected connected components "
+    "(min-label propagation, reusing the SSSP fixpoint machinery) over "
+    "the MinHash-LSH candidate pairs — the step that turns pairwise "
+    "collisions into dedup groups (SURVEY.md §2.11). Oracle recomputes "
+    "components via recursive reachability.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = G.connected_components(spark, edges)
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Distinct aggregate alongside a plain count — Catalyst plans the "
+    "distinct as a two-phase expand/aggregate; at scale prefer "
+    "approx_count_distinct (HLL) when exactness is negotiable (not "
+    "oracle-comparable across engines, so the exact form is registered).",
+)
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -138,3 +138,32 @@ def test_kmeans_compat_truncate_matches_reference_longs(spark, sf_dir):
     ).collect()
     for r in out:
         assert r["centroid"] == float(int(r["centroid"]))
+
+
+# --- connected components ---------------------------------------------------
+
+
+def test_connected_components_micro_graph(spark):
+    """Two components {1,2,3} and {7,9}; direction must not matter."""
+    rows = [(1, 2), (3, 2), (9, 7)]
+    edges = spark.createDataFrame(rows, "src: long, dst: long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(spark, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_cluster_invariants(spark, sf_dir):
+    """Every vertex's component label is the min vertex of its component,
+    and endpoints of every edge share a component."""
+    edges = graph_edges(spark, sf_dir)
+    cc = G.connected_components(spark, edges)
+    labels = {r["vertex"]: r["component"] for r in cc.collect()}
+    for r in edges.collect():
+        assert labels[r["src"]] == labels[r["dst"]]
+    comps = {}
+    for v, c in labels.items():
+        comps.setdefault(c, []).append(v)
+    for c, vs in comps.items():
+        assert c == min(vs)
