@@ -59,6 +59,9 @@ HEADLINE = [
     "distinct_users_per_type",
     "token_counts_bpe",
     "token_doc_frequency",
+    # custom operators + format coverage
+    "asof_latest_order",
+    "events_props_json",
 ]
 
 

@@ -1391,3 +1391,81 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ===========================================================================
+# As-of join + JSON extraction
+# ===========================================================================
+
+from .operators.asof import asof_join  # noqa: E402
+
+
+@register(
+    "asof_latest_order",
+    """
+    WITH ev AS (SELECT event_id, user_id,
+                TIMESTAMP '1995-01-01 00:00:00'
+                  + (event_id % 2400) * INTERVAL 1 DAY AS asof_ts
+                FROM events),
+    m AS (SELECT ev.event_id, ev.user_id,
+          CAST(FLOOR(epoch(ev.asof_ts)) AS BIGINT) AS asof_epoch,
+          (SELECT MAX({'d': o.o_orderdate, 'k': o.o_orderkey, 'p': o.o_totalprice})
+           FROM orders o
+           WHERE o.o_custkey = ev.user_id AND o.o_orderdate <= ev.asof_ts) AS mo
+          FROM ev)
+    SELECT event_id, user_id, asof_epoch,
+           (mo).k AS o_orderkey,
+           ROUND((mo).p, 2) AS o_totalprice
+    FROM m
+    """,
+    doc="As-of join (custom operator, no Spark builtin): each event "
+    "matched to the customer's LATEST order at or before a synthetic "
+    "as-of timestamp spread across the order-date range. Engine uses "
+    "the one-shuffle union+window forward-fill (operators/asof.py); the "
+    "oracle independently recomputes each match as a correlated "
+    "latest-row subquery with the same (date, orderkey) tie-break.",
+)
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampadd(DAY, CAST(event_id % 2400 AS INT), "
+            "TIMESTAMP'1995-01-01 00:00:00')"
+        ).alias("asof_ts"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = asof_join(
+        ev.withColumnRenamed("user_id", "k"),
+        o.withColumnRenamed("o_custkey", "k"),
+        "k",
+        "asof_ts",
+        "o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.unix_timestamp("asof_ts").alias("asof_epoch"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="JSON field extraction from the events props column — format "
+    "coverage beyond the reference's text/CSV (engine inherits Spark's "
+    "JSON path functions; pushdown-safe scalar extraction).",
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
+    )

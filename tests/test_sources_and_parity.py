@@ -125,3 +125,44 @@ def test_sssp_paths_distances_consistent_with_sssp(spark, sf_dir):
     }
     withp = {r["vertex"]: r["dist"] for r in G.sssp_with_paths(spark, edges, 1).collect()}
     assert plain == withp
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_hand_computed(spark):
+    """Hand-built point-in-time fixture: matches must take the latest
+    right row at-or-before the left ts, with (ts, tiebreak) ordering,
+    and NULL-fill when nothing precedes."""
+    from mapreducelearnings_spark.operators.asof import asof_join
+
+    quotes = spark.createDataFrame(
+        [
+            (1, 10, 100.0, 1),   # key 1: quotes at t=10 (two, ids 1,2), t=20
+            (1, 10, 101.0, 2),
+            (1, 20, 102.0, 3),
+            (2, 15, 200.0, 4),
+        ],
+        "k: long, t: long, px: double, qid: long",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, 5, 900),    # before any quote → NULL
+            (1, 10, 901),   # equal ts → latest tiebreak quote (qid 2)
+            (1, 25, 902),   # after all → qid 3
+            (2, 15, 903),   # exact match
+            (3, 50, 904),   # key with no quotes → NULL
+        ],
+        "k: long, t: long, trade_id: int",
+    )
+    out = asof_join(
+        trades, quotes, "k", "t", "t",
+        right_payload=["px", "qid"], tiebreak="qid",
+    )
+    got = {r["trade_id"]: (r["px"], r["qid"]) for r in out.collect()}
+    assert got[900] == (None, None)
+    assert got[901] == (101.0, 2)  # equal-ts: highest tiebreak wins
+    assert got[902] == (102.0, 3)
+    assert got[903] == (200.0, 4)
+    assert got[904] == (None, None)
+    assert out.count() == trades.count()  # left join: every trade kept
