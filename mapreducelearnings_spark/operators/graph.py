@@ -173,6 +173,10 @@ def sssp(
     distances, stop when no distance changed (diff-count join — the
     reference's convergence test, :42-44).
     """
+    # co-partition the loop-invariant edge list on the join key at loop
+    # width (same rationale and measurement as pagerank above)
+    if loop_partitions:
+        edges = edges.repartition(loop_partitions, "src")
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     vertices = (
         edges.select(F.col("src").alias("vertex"))
@@ -340,7 +344,10 @@ def connected_components(
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ).distinct()
+    if loop_partitions:
+        sym = sym.repartition(loop_partitions, "src")
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("vertex")).distinct()
     labels0 = vertices.select("vertex", F.col("vertex").alias("component"))
 
