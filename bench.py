@@ -62,6 +62,10 @@ HEADLINE = [
     # custom operators + format coverage
     "asof_latest_order",
     "events_props_json",
+    # standard pagerank + rollup + percentiles
+    "pagerank_general",
+    "sales_rollup",
+    "quantity_percentiles",
 ]
 
 

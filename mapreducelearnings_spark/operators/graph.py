@@ -375,3 +375,86 @@ def connected_components(
         out = iterate(labels0, step, converged=converged, max_iter=max_iter)
     sym.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Standard (damped, out-degree-normalized) PageRank — generalizes the
+# reference's chain-only variant to arbitrary graphs.
+# ---------------------------------------------------------------------------
+
+
+def pagerank_standard(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    loop_partitions: int | None = 8,
+) -> DataFrame:
+    """Textbook PageRank: rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/deg(u)
+    + dangling/N). The reference's variant (PageRankRDD) forwards FULL
+    rank per edge (its chains have out-degree 1, so the two coincide
+    there); this operator handles arbitrary out-degrees and dangling
+    vertices, which the engine needs for real graphs.
+
+    Scale shape identical to :func:`pagerank`: the edge list is
+    pre-weighted ONCE with 1/deg(src) (loop-invariant — the division
+    never re-runs inside the loop), co-partitioned on src, and the
+    dangling scalar is a per-iteration 1-row collect.
+    """
+    ctx = _loop_shuffle_partitions(spark, loop_partitions)
+    ctx.__enter__()
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    if loop_partitions:
+        verts = verts.repartition(loop_partitions, "v")
+    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+    n = verts.count()
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+    weighted = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("dg")).alias("w")
+    )
+    if loop_partitions:
+        weighted = weighted.repartition(loop_partitions, "src")
+    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+    has_out = deg.select(F.col("src").alias("v")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+    prev = None
+    for i in range(iterations):
+        mass = (
+            weighted.join(ranks, weighted.src == ranks.v)
+            .groupBy(weighted.dst.alias("v"))
+            .agg(F.sum(F.col("r") * F.col("w")).alias("m"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        dangling = (
+            ranks.join(has_out, "v", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+            .first()[0]
+        )
+        new_ranks = verts.join(mass, "v", "left").select(
+            "v",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(dangling / n))
+            ).alias("r"),
+        )
+        if (i + 1) % 4 == 0 or i == iterations - 1:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev = mass
+        ranks = new_ranks
+
+    ctx.__exit__(None, None, None)
+    for df in (prev, weighted, has_out, verts):
+        if df is not None:
+            df.unpersist()
+    return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank"))

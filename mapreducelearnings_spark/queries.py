@@ -1469,3 +1469,106 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_value"),
     )
+
+
+# ===========================================================================
+# Standard PageRank + rollup + percentiles
+# ===========================================================================
+
+_PRG_D = 0.85
+_PRG_ITERS = 10
+
+
+def _pagerank_general_oracle(iterations: int, d: float) -> str:
+    parts = [
+        f"WITH e AS MATERIALIZED ({GRAPH_EDGES_SQL}),",
+        "verts AS MATERIALIZED (SELECT DISTINCT v FROM "
+        "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)),",
+        "nn AS (SELECT COUNT(*) AS n FROM verts),",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS dg FROM e GROUP BY src),",
+        "we AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / deg.dg AS w "
+        "FROM e JOIN deg ON e.src = deg.src),",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts),",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT we.dst AS v, SUM(r.r * we.w) AS m "
+            f"FROM we JOIN r{i - 1} r ON we.src = r.v GROUP BY we.dst),"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0.0) AS dm "
+            f"FROM r{i - 1} r LEFT JOIN deg ON r.v = deg.src "
+            f"WHERE deg.src IS NULL),"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT verts.v AS v, "
+            f"(1.0 - {d}) / (SELECT n FROM nn) + {d} * "
+            f"(COALESCE(t{i}.m, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r "
+            f"FROM verts LEFT JOIN t{i} ON verts.v = t{i}.v),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT v AS vertex, ROUND(r, 9) AS rank FROM r{iterations}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "pagerank_general",
+    _pagerank_general_oracle(_PRG_ITERS, _PRG_D),
+    doc="Standard damped PageRank (d=0.85, out-degree-normalized "
+    "contributions, dangling-mass redistribution) on the derived cyclic "
+    "graph — generalizes the reference's chain-only full-rank-forwarding "
+    "variant to arbitrary graphs. Oracle: 10 materialized CTE levels.",
+)
+def q_pagerank_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = G.pagerank_standard(
+        spark, graph_edges(spark, sf_dir), iterations=_PRG_ITERS, damping=_PRG_D
+    )
+    return ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "sales_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical ROLLUP aggregation (flag → flag+status → grand "
+    "total) — subtotal levels in ONE pass over the data instead of "
+    "three; NULL marks the rolled-up levels identically in both engines.",
+)
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.50) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           quantile_cont(l_quantity, 0.90) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group — Spark's percentile() "
+    "and DuckDB's quantile_cont share linear-interpolation semantics "
+    "(verified equal). At 100 TB swap in approx_percentile (t-digest) "
+    "when exactness is negotiable.",
+)
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.expr("percentile(l_quantity, 0.90)").alias("p90"),
+    )

@@ -167,3 +167,25 @@ def test_connected_components_cluster_invariants(spark, sf_dir):
         comps.setdefault(c, []).append(v)
     for c, vs in comps.items():
         assert c == min(vs)
+
+
+# --- standard (damped) PageRank ---------------------------------------------
+
+
+def test_pagerank_standard_rank_sum_is_one(spark, sf_dir):
+    """With out-degree normalization + dangling redistribution, total
+    rank is conserved at 1 every iteration."""
+    ranks = G.pagerank_standard(spark, graph_edges(spark, sf_dir), iterations=5)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_pagerank_standard_handles_dangling(spark):
+    """Graph with a dangling sink: 1→2, 1→3, 2→3; 3 has no out-edges.
+    Mass must be conserved (redistributed), not lost."""
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src: long, dst: long")
+    ranks = G.pagerank_standard(spark, edges, iterations=8)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    got = {r["vertex"]: r["rank"] for r in ranks.collect()}
+    assert got[3] > got[2] > got[1]  # 3 receives from both, 1 only dangling share
