@@ -1572,3 +1572,76 @@ def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.75)").alias("p75"),
         F.expr("percentile(l_quantity, 0.90)").alias("p90"),
     )
+
+
+# ===========================================================================
+# Anti-join + set operations (absent in the reference — SURVEY §2.4/§2.6
+# note the gaps; the engine provides them natively)
+# ===========================================================================
+
+
+@register(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """,
+    doc="Left-anti join: customers with no large order — the complement "
+    "of semi_join. The reference has no anti-join at all (SURVEY.md "
+    "§2.4); Catalyst plans a broadcast/shuffle anti join directly. The "
+    "price filter keeps the result non-vacuous at every SF.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 200000
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="EXCEPT (set difference, distinct semantics): ordering customers "
+    "outside the BUILDING segment — §2.6 notes the reference emulates "
+    "set ops with join+filter; the engine has them first-class.",
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)  # EXCEPT DISTINCT semantics
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    """,
+    doc="INTERSECT (distinct semantics): customers who both ordered and "
+    "hold a positive balance.",
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.intersect(c)
