@@ -70,3 +70,28 @@ def test_pricing_summary_fuses_all_aggregates_one_pass(spark, sf_dir):
     assert plan.count("partial_sum") == 3
     assert "partial_avg" in plan
     assert "partial_count" in plan
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    """The as-of operator's contract: one hash exchange on the key (for
+    the window), never a range/cartesian join."""
+    plan = plan_of(spark, sf_dir, "asof_latest_order")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one exchange in the tree, and it partitions on the key
+    assert plan.count("- Exchange (") == 1
+    assert "hashpartitioning(__k" in plan
+
+
+def test_ann_lsh_avoids_cartesian(spark, sf_dir):
+    """The ANN path must join on the bucket, not cross the corpus."""
+    plan = plan_of(spark, sf_dir, "ann_lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bruteforce_simsearch_is_the_documented_cartesian(spark, sf_dir):
+    """Conversely the brute-force baseline IS a cross product by design —
+    assert it so a silent plan change doesn't invalidate the docs."""
+    plan = plan_of(spark, sf_dir, "similarity_topk")
+    assert ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan)
