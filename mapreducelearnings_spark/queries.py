@@ -1645,3 +1645,66 @@ def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey").alias("custkey"))
     )
     return o.intersect(c)
+
+
+# ===========================================================================
+# Cube aggregation + analytic window functions (running totals / lag)
+# ===========================================================================
+
+
+@register(
+    "sales_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^k grouping combinations in one pass (rollup's "
+    "superset). Catalyst expands the grouping sets before the single "
+    "shuffle.",
+)
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "customer_running_totals",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           ROUND(COALESCE(LAG(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey), 0.0), 2) AS prev_price
+    FROM orders
+    """,
+    doc="Analytic window functions: per-customer running spend and "
+    "previous-order price (cumulative SUM + LAG over a deterministic "
+    "(date, key) order). One hash shuffle on the partition key — the "
+    "window never sees more than one customer's rows per task.",
+)
+def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.round(
+            F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("prev_price"),
+    )
