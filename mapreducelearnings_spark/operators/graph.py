@@ -89,56 +89,59 @@ def pagerank(
     measured 26 s → 6 s on the k=100 bench when replaced with this.)
     Lineage is truncated by localCheckpoint every 4 iterations.
     """
-    ctx = _loop_shuffle_partitions(spark, loop_partitions)
-    ctx.__enter__()
-    # co-partition the loop-invariant sides on their join keys at the
-    # loop width: every iteration's join then reuses the cached
-    # partitioning instead of re-exchanging the edge list (the durable
-    # form of the reference's partitionBy(HashPartitioner(3)).cache(),
-    # PageRankRDD/.../FollowerCount.scala:53-55; measured 9.7 s → 3.5 s
-    # on the k=100 bench).
-    if loop_partitions:
-        edges = edges.repartition(loop_partitions, "src")
-        vertices = ranks0.select("vertex").repartition(loop_partitions, "vertex")
-    else:
-        vertices = ranks0.select("vertex")
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
-
-    ranks = ranks0
-    prev_mass = None
-    for i in range(iterations):
-        mass = (
-            edges.join(ranks, edges.src == ranks.vertex)
-            .groupBy(edges.dst.alias("vertex"))
-            .agg(F.sum("rank").alias("mass"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        delta_row = (
-            mass.where(F.col("vertex") == 0).select("mass").collect()
-        )  # materializes the cached mass; 1-row driver round-trip
-        delta = float(delta_row[0]["mass"]) if delta_row else 0.0
-        new_ranks = vertices.join(mass, "vertex", "left").select(
-            "vertex",
-            F.when(F.col("vertex") == 0, 0.0)
-            .otherwise(
-                F.coalesce(F.col("mass"), F.lit(0.0))
-                + F.lit(delta / float(n_vertices))
+    # scoped conf inside with: an exception mid-loop must still restore
+    # AQE + shuffle partitions for the shared session
+    with _loop_shuffle_partitions(spark, loop_partitions):
+        # co-partition the loop-invariant sides on their join keys at the
+        # loop width: every iteration's join then reuses the cached
+        # partitioning instead of re-exchanging the edge list (the durable
+        # form of the reference's partitionBy(HashPartitioner(3)).cache(),
+        # PageRankRDD/.../FollowerCount.scala:53-55; measured 9.7 s → 3.5 s
+        # on the k=100 bench).
+        if loop_partitions:
+            edges = edges.repartition(loop_partitions, "src")
+            vertices = ranks0.select("vertex").repartition(
+                loop_partitions, "vertex"
             )
-            .alias("rank"),
-        )
-        if (i + 1) % 4 == 0 or i == iterations - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        if prev_mass is not None:
-            prev_mass.unpersist()
-        prev_mass = mass
-        ranks = new_ranks
+        else:
+            vertices = ranks0.select("vertex")
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        vertices = vertices.persist(StorageLevel.MEMORY_AND_DISK)
 
-    ctx.__exit__(None, None, None)
-    if prev_mass is not None:
-        prev_mass.unpersist()
-    edges.unpersist()
-    vertices.unpersist()
+        ranks = ranks0
+        prev_mass = None
+        try:
+            for i in range(iterations):
+                mass = (
+                    edges.join(ranks, edges.src == ranks.vertex)
+                    .groupBy(edges.dst.alias("vertex"))
+                    .agg(F.sum("rank").alias("mass"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                delta_row = (
+                    mass.where(F.col("vertex") == 0).select("mass").collect()
+                )  # materializes the cached mass; 1-row driver round-trip
+                delta = float(delta_row[0]["mass"]) if delta_row else 0.0
+                new_ranks = vertices.join(mass, "vertex", "left").select(
+                    "vertex",
+                    F.when(F.col("vertex") == 0, 0.0)
+                    .otherwise(
+                        F.coalesce(F.col("mass"), F.lit(0.0))
+                        + F.lit(delta / float(n_vertices))
+                    )
+                    .alias("rank"),
+                )
+                if (i + 1) % 4 == 0 or i == iterations - 1:
+                    new_ranks = new_ranks.localCheckpoint(eager=True)
+                if prev_mass is not None:
+                    prev_mass.unpersist()
+                prev_mass = mass
+                ranks = new_ranks
+        finally:
+            if prev_mass is not None:
+                prev_mass.unpersist()
+            edges.unpersist()
+            vertices.unpersist()
     return ranks
 
 
@@ -399,62 +402,75 @@ def pagerank_standard(
     Scale shape identical to :func:`pagerank`: the edge list is
     pre-weighted ONCE with 1/deg(src) (loop-invariant — the division
     never re-runs inside the loop), co-partitioned on src, and the
-    dangling scalar is a per-iteration 1-row collect.
+    dangling scalar folds into the SAME mass aggregation: dangling
+    vertices get one synthetic edge to a NULL sink, so each iteration is
+    a single join+group-sum job whose NULL row IS the dangling mass
+    (read back as a 1-row collect from the cached result) — halving the
+    per-iteration job count vs a separate left_anti aggregation.
     """
-    ctx = _loop_shuffle_partitions(spark, loop_partitions)
-    ctx.__enter__()
-    verts = (
-        edges.select(F.col("src").alias("v"))
-        .unionByName(edges.select(F.col("dst").alias("v")))
-        .distinct()
-    )
-    if loop_partitions:
-        verts = verts.repartition(loop_partitions, "v")
-    verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
-    n = verts.count()
-
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
-    weighted = edges.join(deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("dg")).alias("w")
-    )
-    if loop_partitions:
-        weighted = weighted.repartition(loop_partitions, "src")
-    weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
-    has_out = deg.select(F.col("src").alias("v")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
-    prev = None
-    for i in range(iterations):
-        mass = (
-            weighted.join(ranks, weighted.src == ranks.v)
-            .groupBy(weighted.dst.alias("v"))
-            .agg(F.sum(F.col("r") * F.col("w")).alias("m"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+    with _loop_shuffle_partitions(spark, loop_partitions):
+        verts = (
+            edges.select(F.col("src").alias("v"))
+            .unionByName(edges.select(F.col("dst").alias("v")))
+            .distinct()
         )
-        dangling = (
-            ranks.join(has_out, "v", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
-            .first()[0]
-        )
-        new_ranks = verts.join(mass, "v", "left").select(
-            "v",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("m"), F.lit(0.0)) + F.lit(dangling / n))
-            ).alias("r"),
-        )
-        if (i + 1) % 4 == 0 or i == iterations - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        if prev is not None:
-            prev.unpersist()
-        prev = mass
-        ranks = new_ranks
+        if loop_partitions:
+            verts = verts.repartition(loop_partitions, "v")
+        verts = verts.persist(StorageLevel.MEMORY_AND_DISK)
+        n = verts.count()
 
-    ctx.__exit__(None, None, None)
-    for df in (prev, weighted, has_out, verts):
-        if df is not None:
-            df.unpersist()
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("dg"))
+        dst_t = dict(edges.dtypes)["dst"]
+        weighted = (
+            edges.join(deg, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("dg")).alias("w"))
+            .unionByName(
+                # dangling v → ⊥ sink, weight 1: its whole rank lands in
+                # the NULL group of the mass aggregation
+                verts.join(
+                    deg.select(F.col("src").alias("v")), "v", "left_anti"
+                ).select(
+                    F.col("v").alias("src"),
+                    F.lit(None).cast(dst_t).alias("dst"),
+                    F.lit(1.0).alias("w"),
+                )
+            )
+        )
+        if loop_partitions:
+            weighted = weighted.repartition(loop_partitions, "src")
+        weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+
+        ranks = verts.select("v", F.lit(1.0 / n).alias("r"))
+        prev = None
+        try:
+            for i in range(iterations):
+                mass = (
+                    weighted.join(ranks, weighted.src == ranks.v)
+                    .groupBy(weighted.dst.alias("v"))
+                    .agg(F.sum(F.col("r") * F.col("w")).alias("m"))
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                drow = mass.where(F.col("v").isNull()).select("m").collect()
+                dangling = float(drow[0]["m"]) if drow else 0.0
+                new_ranks = verts.join(mass, "v", "left").select(
+                    "v",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("m"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("r"),
+                )
+                if (i + 1) % 4 == 0 or i == iterations - 1:
+                    new_ranks = new_ranks.localCheckpoint(eager=True)
+                if prev is not None:
+                    prev.unpersist()
+                prev = mass
+                ranks = new_ranks
+        finally:
+            for df in (prev, weighted, verts):
+                if df is not None:
+                    df.unpersist()
     return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("rank"))

@@ -203,18 +203,26 @@ def q_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "grouped_collect",
     """
-    SELECT l_orderkey, list_sort(list(DISTINCT l_suppkey)) AS suppliers
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS suppliers
     FROM lineitem GROUP BY l_orderkey
     """,
     doc="Adjacency-list build: grouped collect to array "
     "(SingleSourceShortestPathDataSet/.../FollowerCount.scala:30; dedup per "
-    "RepJoin/.../CountFollowers.java:59-61). Sorted so the hash is "
-    "order-stable.",
+    "RepJoin/.../CountFollowers.java:59-61). Sorted, then serialized to a "
+    "comma-joined string so the driver's pandas canonicalizer can hash the "
+    "column (lists are unhashable).",
 )
 def q_grouped_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("suppliers")
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("l_suppkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("suppliers")
     )
 
 
@@ -649,8 +657,11 @@ def _kmeans_oracle(k: int, rounds: int) -> str:
         f"FROM pts p CROSS JOIN c{rounds} c GROUP BY p.x, p.w)"
     )
     parts.append(
+        # CAST: DuckDB SUM(BIGINT) yields HUGEINT, which hash-mismatches
+        # Spark's LongType (this was the round-1 kmeans_centroids red row).
         f"SELECT a.cid AS cluster_id, ROUND(c.c, 4) AS centroid, "
-        f"SUM(a.w) AS n_points FROM afin a JOIN c{rounds} c ON a.cid = c.cid "
+        f"CAST(SUM(a.w) AS BIGINT) AS n_points "
+        f"FROM afin a JOIN c{rounds} c ON a.cid = c.cid "
         f"GROUP BY a.cid, c.c"
     )
     return "\n".join(parts)
@@ -1081,17 +1092,26 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT pr.v, pa.path || [pr.v] FROM paths pa JOIN pred pr ON pr.p = pa.v
         WHERE len(pa.path) < 129
     )
-    SELECT paths.v AS vertex, CAST(md.d AS DOUBLE) AS dist, paths.path AS path
+    SELECT paths.v AS vertex, CAST(md.d AS DOUBLE) AS dist,
+           array_to_string(paths.path, ',') AS path
     FROM paths JOIN md ON paths.v = md.v
     """,
     doc="SSSP with one canonical shortest path per reachable vertex — "
     "ShortestPathMR's predecessor tracking (ShortestPathMR/.../"
     "CountFollowers.java:81-112) with deterministic min-predecessor "
     "tie-breaking (the reference's path depends on reducer iteration "
-    "order). Oracle reconstructs the same min-predecessor tree.",
+    "order). Oracle reconstructs the same min-predecessor tree. The path "
+    "is serialized to a comma-joined string (root→vertex order preserved) "
+    "so the driver's pandas canonicalizer can hash the column. This also "
+    "matches ShortestPathMR's delimiter-joined path-string output format "
+    "(CountFollowers.java:104-112), just with ',' instead of ' '.",
 )
 def q_sssp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.sssp_with_paths(spark, graph_edges(spark, sf_dir), source=1)
+    out = G.sssp_with_paths(spark, graph_edges(spark, sf_dir), source=1)
+    return out.withColumn(
+        "path",
+        F.array_join(F.transform("path", lambda x: x.cast("string")), ","),
+    )
 
 
 @register(
