@@ -25,6 +25,7 @@ from ..functions import vector as V
 
 N_PLANES = 8
 DIMS = 64
+N_TABLES = 4
 
 
 def hyperplanes(n_planes: int = N_PLANES, dims: int = DIMS) -> list[list[float]]:
@@ -36,6 +37,24 @@ def hyperplanes(n_planes: int = N_PLANES, dims: int = DIMS) -> list[list[float]]
         row = []
         for d in range(dims):
             h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(h / float(1 << 60) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplanes_table(
+    table: int, n_planes: int = N_PLANES, dims: int = DIMS
+) -> list[list[float]]:
+    """Hyperplanes for LSH table ``table`` — independent of each other
+    and of the legacy single-table :func:`hyperplanes` family (seed
+    "t{table}:{p}:{d}")."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dims):
+            h = int(
+                hashlib.md5(f"t{table}:{p}:{d}".encode()).hexdigest()[:15], 16
+            )
             row.append(h / float(1 << 60) * 2.0 - 1.0)
         planes.append(row)
     return planes
@@ -97,9 +116,9 @@ def cosine_topk(
     )
 
 
-def _bucket_expr(emb_col):
-    """LSH bucket id: bit p = sign of ⟨v, plane_p⟩."""
-    planes = hyperplanes()
+def _bucket_expr_planes(emb_col, planes):
+    """LSH bucket id over an explicit plane list: bit p = sign of
+    ⟨v, plane_p⟩."""
     bits = []
     for p, row in enumerate(planes):
         plane_lit = F.array(*[F.lit(x) for x in row])
@@ -109,6 +128,34 @@ def _bucket_expr(emb_col):
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def _bucket_expr(emb_col):
+    """LSH bucket id over the legacy single-table plane family."""
+    return _bucket_expr_planes(emb_col, hyperplanes())
+
+
+def _multi_table_tagged(
+    emb: DataFrame, n_tables: int, planes_per_table: int
+) -> DataFrame:
+    """(vec_id, ne, t, b): one row per vector per LSH table. The L
+    bucket ids are computed in a single projection (array of structs)
+    and exploded — no shuffle; the explode is the standard L× row
+    amplification every multi-table LSH pays."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_expr_planes(
+                    F.col("ne"), hyperplanes_table(t, planes_per_table)
+                ).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return emb.select(
+        "vec_id", "ne", F.explode(buckets).alias("tb")
+    ).select("vec_id", "ne", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
 
 
 def lsh_ann_topk(
@@ -150,8 +197,13 @@ def lsh_ann_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t).
-    Brute-force variant; the LSH bucket join above is the scale path."""
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t),
+    exhaustive O(n²) cross join.
+
+    TEST-ONLY recall oracle: this is the exhaustive ground truth the
+    LSH path (:func:`embedding_near_dup_pairs_lsh`) is measured
+    against in pytest. Not registered as a query and never a
+    production path — at 100 TB the cross product never finishes."""
     emb = _emb_normed(embeddings)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("eb"))
@@ -164,4 +216,84 @@ def embedding_near_dup_pairs(
             F.round(V.dot(F.col("ea"), F.col("eb")), 4).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = N_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    LSH — the 100 TB path.
+
+    Candidate pairs come from an equi-join on (table, bucket): only
+    vectors sharing a bucket in at least one of the L tables are ever
+    compared, so the join touches collisions, not the n² cross product.
+    Exact cosine is then verified on the candidates and thresholded;
+    the DISTINCT collapses pairs that collide in several tables.
+    Recall is approximate but fully deterministic (md5-derived planes),
+    so the same bucketing mirrored in SQL keeps the result
+    oracle-checkable. Unit vectors ride through the (t, b) shuffle —
+    L× data amplification buys zero extra joins; at extreme scale
+    re-joining ids to vectors post-dedup is the alternative tradeoff."""
+    emb = _emb_normed(embeddings)
+    tagged = _multi_table_tagged(emb, n_tables, planes_per_table)
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    return (
+        a.join(b, ["t", "b"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(V.dot(F.col("a.ne"), F.col("b.ne")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def lsh_ann_topk_multi(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = N_PLANES,
+) -> DataFrame:
+    """Approximate top-k with L independent hyperplane tables: a single
+    8-plane table (:func:`lsh_ann_topk`) misses neighbors that land one
+    hyperplane away; unioning L tables' buckets recovers them
+    (recall 1−(1−r)^L for per-table recall r). Candidates are the union
+    of the query's bucket in every table, deduped, then exactly scored —
+    still an equi-join on (table, bucket), never a cross product."""
+    emb = _emb_normed(embeddings)
+    tagged = _multi_table_tagged(emb, n_tables, planes_per_table)
+    q = tagged.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb"), "t", "b"
+    )
+    c = tagged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"), "t", "b"
+    )
+    scored = (
+        c.join(F.broadcast(q), ["t", "b"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+        )
+        .distinct()  # same pair may collide in several tables
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
