@@ -45,6 +45,8 @@ HEADLINE = [
     "doc_fingerprints",
     "similarity_topk",
     "ann_lsh_topk",
+    "ann_lsh_topk_multi",
+    "dedup_embedding_cosine",
     "multimodal_meta",
     # UDF surface + windows + paths (SURVEY.md §2.9–2.10)
     "udaf_weighted_avg",
@@ -62,11 +64,40 @@ HEADLINE = [
     # custom operators + format coverage
     "asof_latest_order",
     "events_props_json",
-    # standard pagerank + rollup + percentiles
+    # standard pagerank (+ DF-variant quirk twin) + rollup + percentiles
     "pagerank_general",
+    "pagerank_df_quirk",
     "sales_rollup",
     "quantity_percentiles",
 ]
+
+
+def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
+    """recall@5 of both ANN paths against the brute-force ground truth —
+    reported next to the timings so speed is never quoted without its
+    accuracy cost (3 collects of ≤40 rows each)."""
+    from mapreducelearnings_spark.catalog import load_table
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth: dict[int, set] = {}
+    for r in SS.cosine_topk(emb, n_queries=8, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_truth = sum(len(v) for v in truth.values())
+
+    def recall(rows) -> float:
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return round(hits / n_truth, 4)
+
+    return {
+        "ann_lsh_topk": recall(SS.lsh_ann_topk(emb, n_queries=8, k=5).collect()),
+        "ann_lsh_topk_multi": recall(
+            SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
+        ),
+    }
 
 
 def main() -> None:
@@ -100,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_5": _ann_recall_at_k(spark, sf_dir),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -69,6 +69,7 @@ def pagerank(
     n_vertices: int,
     iterations: int = 10,
     loop_partitions: int | None = None,
+    credit_dummy: bool = False,
 ) -> DataFrame:
     """PageRank with the reference's no-damping, dummy-vertex dangling-mass
     semantics (PageRankRDD/.../FollowerCount.scala:58-70):
@@ -88,6 +89,15 @@ def pagerank(
     each iteration, so plan size and optimizer time grow exponentially;
     measured 26 s → 6 s on the k=100 bench when replaced with this.)
     Lineage is truncated by localCheckpoint every 4 iterations.
+
+    ``credit_dummy=True`` reproduces the DF variant's operator-precedence
+    quirk (PageRankDataSet/.../FollowerCount.scala:70): the
+    ``when(vertex===0, 0).otherwise(rank) + delta/N`` there binds the
+    ``+`` OUTSIDE the when/otherwise, so vertex 0 is zeroed and then
+    credited delta/N like everyone else (its rank never propagates — 0
+    has no out-edges — so that mass leaks each iteration and ranks no
+    longer sum to 1). Default False = the RDD variant's mathematically
+    intended pin-to-0 (SURVEY.md §4 item 2, now implemented both ways).
     """
     # scoped conf inside with: an exception mid-loop must still restore
     # AQE + shuffle partitions for the shared session
@@ -122,14 +132,19 @@ def pagerank(
                     mass.where(F.col("vertex") == 0).select("mass").collect()
                 )  # materializes the cached mass; 1-row driver round-trip
                 delta = float(delta_row[0]["mass"]) if delta_row else 0.0
-                new_ranks = vertices.join(mass, "vertex", "left").select(
-                    "vertex",
-                    F.when(F.col("vertex") == 0, 0.0)
-                    .otherwise(
-                        F.coalesce(F.col("mass"), F.lit(0.0))
-                        + F.lit(delta / float(n_vertices))
+                share = F.lit(delta / float(n_vertices))
+                zero_or_mass = F.when(F.col("vertex") == 0, 0.0).otherwise(
+                    F.coalesce(F.col("mass"), F.lit(0.0))
+                )
+                new_rank = (
+                    (zero_or_mass + share)  # quirk: + binds outside the when
+                    if credit_dummy
+                    else F.when(F.col("vertex") == 0, 0.0).otherwise(
+                        F.coalesce(F.col("mass"), F.lit(0.0)) + share
                     )
-                    .alias("rank"),
+                )
+                new_ranks = vertices.join(mass, "vertex", "left").select(
+                    "vertex", new_rank.alias("rank")
                 )
                 if (i + 1) % 4 == 0 or i == iterations - 1:
                     new_ranks = new_ranks.localCheckpoint(eager=True)
@@ -145,14 +160,19 @@ def pagerank(
     return ranks
 
 
-def pagerank_chain(spark: SparkSession, k: int = 100, iterations: int = 10) -> DataFrame:
+def pagerank_chain(
+    spark: SparkSession,
+    k: int = 100,
+    iterations: int = 10,
+    credit_dummy: bool = False,
+) -> DataFrame:
     edges, ranks0 = chain_graph(spark, k)
     # k² vertices is tiny relative to any session default — size the loop
     # shuffles to the graph (callers with web-scale graphs pass their own
     # pagerank(...) invocation with loop_partitions=None to inherit)
     return pagerank(
         spark, edges, ranks0, n_vertices=k * k, iterations=iterations,
-        loop_partitions=8,
+        loop_partitions=8, credit_dummy=credit_dummy,
     )
 
 
@@ -408,6 +428,9 @@ def pagerank_standard(
     (read back as a 1-row collect from the cached result) — halving the
     per-iteration job count vs a separate left_anti aggregation.
     """
+    # a genuine NULL dst in unclean input would otherwise be folded into
+    # the synthetic NULL-sink group and silently counted as dangling mass
+    edges = edges.where(F.col("dst").isNotNull())
     with _loop_shuffle_partitions(spark, loop_partitions):
         verts = (
             edges.select(F.col("src").alias("v"))

@@ -92,6 +92,18 @@ def write_csv(
     df.write.mode(mode).option("sep", sep).csv(path)
 
 
+def write_text_tuples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Byte-parity text sink for the reference's RDD tuple lines:
+    ``saveAsTextFile`` on an ``RDD[(k, v)]`` writes Scala's
+    ``Tuple2.toString`` — ``(k,v)``, parenthesized, comma-joined, no
+    space (ReduceByKey/.../FollowersCount.scala:29). Every column of the
+    row folds into one such line, so a migrated job's text output is
+    byte-identical (golden-file asserted in tests)."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    line = F.concat(F.lit("("), F.concat_ws(",", *cols), F.lit(")"))
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

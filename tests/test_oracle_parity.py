@@ -22,9 +22,9 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert_matches_oracle(spec.spark(spark, sf_dir), duck, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(name, spark, sf_dir):
-    spec = REGISTRY[name]
-    df = spec.spark(spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_no_rows_only_queries():
+    """Every registered query carries a full DuckDB oracle — the driver
+    records zero weaker rows-only checks. If a future query genuinely
+    can't be SQL-expressed, register it with oracle=None and add a
+    rows-only runs-check here."""
+    assert ROWS_ONLY == []

@@ -72,6 +72,50 @@ def test_ann_results_subset_of_bruteforce_scores(spark, sf_dir):
         assert bf[(r["query_id"], r["neighbor_id"])] == r["cos"]
 
 
+def test_embedding_lsh_near_dup_subset_and_recall(spark, sf_dir):
+    """The registered multi-table LSH near-dup query must (a) never
+    invent a pair — every emitted pair is exactly-scored, so LSH output
+    ⊆ brute-force ground truth (precision 1.0) — and (b) recall most of
+    the truth at the registered (8 tables × 4 planes) config."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in SS.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in SS.embedding_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_tables=8, planes_per_table=4
+        ).collect()
+    }
+    assert truth, "fixture should contain cos>=0.4 pairs"
+    assert got <= truth, f"LSH emitted non-pairs: {got - truth}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"multi-table LSH recall collapsed: {recall:.3f}"
+
+
+def _recall_at_k(truth_rows, ann_rows) -> float:
+    truth, got = {}, {}
+    for r in truth_rows:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ann_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    return hits / sum(len(v) for v in truth.values())
+
+
+def test_multi_table_ann_recall_geq_single_table(spark, sf_dir):
+    """Recall@5 of the 4-table ANN must dominate the single-table path
+    (the union of 4 independent bucket families can only add candidates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
+    single = _recall_at_k(truth, SS.lsh_ann_topk(emb, n_queries=8, k=5).collect())
+    multi = _recall_at_k(
+        truth, SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
+    )
+    assert multi >= max(single, 0.5), (multi, single)
+
+
 def test_bruteforce_topk_is_sorted_and_k_bounded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = SS.cosine_topk(emb, n_queries=4, k=5).collect()

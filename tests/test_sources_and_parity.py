@@ -38,6 +38,23 @@ def test_text_scan_and_edge_parse_drops_malformed(spark, tmp_path):
     assert sorted(map(tuple, parsed.collect())) == [(1, 2), (3, 4), (7, 8)]
 
 
+def test_text_tuple_sink_byte_parity(spark, tmp_path):
+    """Golden-file byte parity with the reference's saveAsTextFile on an
+    RDD[(k, v)] — Scala Tuple2.toString lines, ``(k,v)`` with no space
+    (ReduceByKey/.../FollowersCount.scala:29)."""
+    df = spark.createDataFrame(
+        [("12", 3), ("7", 1), ("alice", 42)], "k: string, v: int"
+    ).coalesce(1)
+    path = tmp_path / "tuples_txt"
+    IO.write_text_tuples(df, str(path))
+    data = b"".join(
+        p.read_bytes() for p in sorted(path.glob("part-*"))
+    )
+    assert sorted(data.splitlines()) == sorted(
+        [b"(12,3)", b"(7,1)", b"(alice,42)"]
+    )
+
+
 def test_parquet_roundtrip(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     path = str(tmp_path / "docs_pq")
