@@ -46,7 +46,10 @@ HEADLINE = [
     "similarity_topk",
     "ann_lsh_topk",
     "ann_lsh_topk_multi",
+    "ann_ivf_topk",
     "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
+    "quality_filter",
     "multimodal_meta",
     # UDF surface + windows + paths (SURVEY.md §2.9–2.10)
     "udaf_weighted_avg",
@@ -97,6 +100,7 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         "ann_lsh_topk_multi": recall(
             SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
         ),
+        "ann_ivf_topk": recall(SS.ivf_topk(emb, n_queries=8, k=5).collect()),
     }
 
 

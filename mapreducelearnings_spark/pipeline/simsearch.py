@@ -202,6 +202,108 @@ def lsh_ann_topk(
     )
 
 
+IVF_CELLS = 16
+IVF_PROBES = 3
+
+
+def ivf_assign(
+    embeddings: DataFrame, n_cells: int = IVF_CELLS
+) -> DataFrame:
+    """(vec_id, cell, ne): every vector assigned to its nearest coarse
+    centroid — the IVF (inverted-file) partitioning step.
+
+    Centroids are a deterministic corpus sample (the first ``n_cells``
+    vec_ids) — the standard random-subset IVF initialization, made
+    reproducible so the oracle can mirror it; a Lloyd-trained quantizer
+    would run :mod:`..operators.kmeans` first and feed its centroids in,
+    with identical plumbing from here on.
+
+    Scale shape: centroids are broadcast (n_cells rows), assignment is a
+    map-side argmax (``max_by`` over a broadcast crossJoin — partial
+    aggregation shrinks n_cells rows per vector to 1 BEFORE the shuffle,
+    unlike a window row_number which must sort the full product). At
+    100 TB the assignment runs once at ingest and the corpus is written
+    bucketed by cell, so queries read n_probes/n_cells of the data.
+    """
+    emb = _emb_normed(embeddings)
+    cent = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "ne",
+            "cid",
+            V.dot(F.col("ne"), F.col("ce")).alias("cs"),
+        )
+        .groupBy("vec_id")
+        # max of (cs, -cid): best cosine, ties to the smallest centroid
+        # id — same order as the oracle's ROW_NUMBER(cs DESC, cid ASC)
+        .agg(
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("cs"), (-F.col("cid")).alias("nc")),
+            ).alias("cell"),
+            # ne is constant within the group (one row per centroid)
+            F.any_value(F.col("ne")).alias("ne"),
+        )
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "ne")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: each query exactly scores only
+    the vectors in its ``n_probes`` nearest centroid cells — the
+    cell-partitioned alternative to hyperplane LSH (candidates bounded
+    by n_probes/n_cells of the corpus instead of bucket collisions; no
+    DISTINCT needed since every vector lives in exactly one cell).
+    Returns (query_id, neighbor_id, cos, rank)."""
+    emb = _emb_normed(embeddings)
+    cent = emb.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    assigned = ivf_assign(embeddings, n_cells)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb")
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qemb", "cid", V.dot(F.col("qemb"), F.col("ce")).alias("cs")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    qprobe = (
+        qs.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select("query_id", "qemb", F.col("cid").cast("long").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col("qemb"), F.col("ne")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

@@ -61,6 +61,63 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+QF_MIN_QUALITY = 0.55
+QF_MIN_TOKENS = 20
+QF_LANG = "en"
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = QF_MIN_QUALITY,
+    min_tokens: int = QF_MIN_TOKENS,
+    lang: str = QF_LANG,
+) -> DataFrame:
+    """The end-to-end training-data keep/drop gate: quality score AND
+    language AND length computed in ONE scan (tokens materialized into a
+    column first — an expression captured inside the HOF stopword
+    filters would re-evaluate the regexp split per element), then
+    filtered. Returns the kept docs as (doc_id, token_count,
+    quality_score, lang_pred).
+
+    At 100 TB this is the canonical first pass over a crawl: pure
+    codegen expressions, no shuffle at all — the filter runs at scan
+    speed and prunes before any downstream dedup/embedding stage."""
+    toks = F.col("_toks")
+    tc = F.size(toks).cast("long")
+    cc = F.length(F.col(text_col)).cast("long")
+    pc = X.punct_count(text_col)
+    en = X.stopword_count(toks, X.STOPWORDS_EN)
+    fr = X.stopword_count(toks, X.STOPWORDS_FR)
+    de = X.stopword_count(toks, X.STOPWORDS_DE)
+    quality = (
+        0.5 * F.least(tc.cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * (en.cast("double") / F.greatest(tc, F.lit(1)).cast("double"))
+        + 0.2
+        * (1.0 - pc.cast("double") / F.greatest(cc, F.lit(1)).cast("double"))
+    )
+    pred = (
+        F.when((en == 0) & (fr == 0) & (de == 0), "und")
+        .when((en >= fr) & (en >= de), "en")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return (
+        docs.withColumn("_toks", X.tokens(text_col))
+        .select(
+            "doc_id",
+            tc.alias("token_count"),
+            F.round(quality, 4).alias("quality_score"),
+            pred.alias("lang_pred"),
+        )
+        .where(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("token_count") >= min_tokens)
+            & (F.col("lang_pred") == lang)
+        )
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling hash (see
     functions.text.rolling_fingerprint)."""

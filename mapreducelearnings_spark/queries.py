@@ -896,6 +896,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter",
+    # composed from the two oracles registered above — one source of
+    # truth for the score and language formulas
+    f"""
+    WITH st AS ({REGISTRY["text_stats"].oracle}),
+    lg AS ({REGISTRY["lang_id"].oracle})
+    SELECT st.doc_id, st.token_count, st.quality_score, lg.lang_pred
+    FROM st JOIN lg ON st.doc_id = lg.doc_id
+    WHERE st.quality_score >= {TS.QF_MIN_QUALITY}
+      AND st.token_count >= {TS.QF_MIN_TOKENS}
+      AND lg.lang_pred = '{TS.QF_LANG}'
+    """,
+    doc="The training-data keep/drop gate: quality score ≥ 0.55 AND "
+    "token_count ≥ 20 AND language = en, all computed in ONE scan "
+    "(tokens materialized once, pure codegen, zero shuffles — the "
+    "filter runs at scan speed, pruning the crawl before any dedup or "
+    "embedding stage). Keeps ~36% of this corpus.",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprints",
     f"""
     SELECT doc_id,
@@ -1079,6 +1102,91 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_ann_topk_multi(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (SELECT vec_id AS cid, ne AS ce FROM e WHERE vec_id < {SS.IVF_CELLS}),
+    ac AS (SELECT e.vec_id, e.ne, cent.cid,
+           list_dot_product(e.ne, cent.ce) AS cs
+           FROM e CROSS JOIN cent),
+    cells AS (SELECT vec_id, ne, cid AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cs DESC, cid ASC) AS rn FROM ac)
+              WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, ne AS qemb, cid AS cell FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid ASC) AS rn
+                FROM ac WHERE vec_id < 8)
+               WHERE rn <= {SS.IVF_PROBES}),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qemb", b="c.ne")}, 6) AS cos
+               FROM cells c JOIN qprobe q ON c.cell = q.cell
+               WHERE c.vec_id <> q.query_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    doc="IVF-Flat ANN top-k: corpus partitioned into 16 centroid cells "
+    "(deterministic sampled quantizer — a trained one plugs into the "
+    "same plumbing), each query exactly scores only its 3 nearest "
+    "cells. Assignment is a map-side max_by argmax over broadcast "
+    "centroids (partial agg, no window sort); at 100 TB the assignment "
+    "runs at ingest and the corpus is bucketed by cell, so a query "
+    "reads n_probes/n_cells of the data. The cell-partitioned "
+    "complement to the collision-driven LSH paths.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_embedding_clusters",
+    f"""
+    WITH RECURSIVE {_EMB_CTE},
+    {_multi_tagged_cte(_NDUP_TABLES, _NDUP_PLANES)},
+    pairs AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+              FROM tagged l JOIN tagged r
+                ON l.t = r.t AND l.b = r.b AND l.vec_id < r.vec_id
+              WHERE ROUND({_COS.format(a="l.ne", b="r.ne")}, 4) >= 0.4),
+    sym AS (SELECT DISTINCT s, d FROM
+            (SELECT a AS s, b AS d FROM pairs
+             UNION ALL SELECT b AS s, a AS d FROM pairs)),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.d AS v, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    )
+    SELECT v AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    """,
+    doc="Embedding near-duplicate CLUSTERS: connected components "
+    "(min-label propagation, the same §2.8 fixpoint machinery as "
+    "dedup_clusters) over the multi-table-LSH cosine pairs — turns "
+    "pairwise near-dups into keep-one-per-group dedup sets for the "
+    "embedding modality, completing the text-side MinHash pipeline's "
+    "twin. Oracle recomputes components via recursive reachability.",
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = SS.embedding_near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_tables=_NDUP_TABLES,
+        planes_per_table=_NDUP_PLANES,
+    )
+    cc = G.connected_components(
+        spark,
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+    )
+    return cc.select(
+        F.col("vertex").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
 
 
 @register(
@@ -1874,8 +1982,8 @@ _CORRECTNESS_WINDOW = [
     "ann_lsh_topk_multi", "dedup_embedding_cosine", "multimodal_meta",
     "udf_discounted_price", "udaf_weighted_avg", "session_windows",
     "asof_latest_order", "events_props_json", "pagerank_general",
-    "sales_rollup", "sales_cube", "quantity_percentiles", "anti_join",
-    "set_except", "set_intersect", "customer_running_totals",
+    "sales_rollup", "sales_cube", "quantity_percentiles", "set_except",
+    "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
 ]
 
 # Twins / extra demos rotated past the window (logic covered in-window):
@@ -1883,13 +1991,17 @@ _CORRECTNESS_WINDOW = [
 # pagerank_topk↔pagerank_idfilter, kmeans_followers↔kmeans_centroids,
 # ann_lsh_topk↔ann_lsh_topk_multi, dedup_ngram_jaccard↔dedup_minhash_lsh
 # (exact small-scale verifier), token stats↔text_stats family, SQL-surface
-# demos (revenue/shipping) ↔ the join+agg queries they compose.
+# demos (revenue/shipping) ↔ the join+agg queries they compose,
+# anti_join/set_intersect ↔ the left-anti/left-semi plans of
+# set_except/semi_join, quality_filter ↔ the text_stats+lang_id scans it
+# composes.
 _TAIL = [
     "salted_follower_count", "triangle_count_broadcast",
     "triangle_count_capped", "pagerank_topk", "kmeans_followers",
     "ann_lsh_topk", "dedup_ngram_jaccard", "token_counts_bpe",
     "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type",
+    "distinct_users_per_type", "anti_join", "set_intersect",
+    "quality_filter",
 ]
 
 

@@ -87,6 +87,32 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup — the ingest-time twin of the batch
+    ``dedup_exact`` pipeline: ``dropDuplicatesWithinWatermark`` keeps
+    one row per key and holds dedup state only for the watermark
+    horizon, so a 100 TB/day stream's dedup state stays bounded by
+    (keys seen within the watermark), not by total history. The caller's
+    watermark on ``ts`` (see :func:`stream_events`) is required."""
+    return events.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession, src_dir: str, table_name: str = "deduped_events"
+) -> None:
+    """Drain a (possibly duplicate-bearing) bounded events source through
+    streaming dedup into an append-mode memory sink."""
+    q = (
+        dedup_stream(stream_events(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator (SURVEY.md §2.10: the
 # applyInPandasWithState surface for operators the built-in windows

@@ -23,6 +23,21 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert back.count() == li.where(F.col("l_returnflag") == "R").count()
 
 
+def test_streaming_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    """Feed the events source DOUBLED (every row replayed once — the
+    at-least-once-delivery failure mode streaming dedup exists for);
+    dropDuplicatesWithinWatermark must emit each event_id exactly once
+    and reproduce the batch-distinct row count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(pa.concat_tables([t, t]), str(tmp_path / "events.parquet"))
+    SW.run_dedup_stream_to_memory(spark, str(tmp_path), table_name="t_dedup")
+    out = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM t_dedup").first()
+    assert out["n"] == out["d"] == t.num_rows
+
+
 def test_stateful_stream_totals_match_batch(spark, sf_dir):
     """Drain the bounded events source through applyInPandasWithState;
     the final running total per user must equal the batch aggregation
