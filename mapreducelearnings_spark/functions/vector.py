@@ -57,6 +57,27 @@ def dot_seq_pandas():
     return F.pandas_udf(dot_seq, "double")
 
 
+def quantize8(unit_vec: Column) -> Column:
+    """Symmetric int8 scalar quantization of a UNIT vector: component →
+    floor(x·127 + 0.5), i.e. round-half-up into [−127, 127]. floor(+0.5)
+    instead of round() because Spark rounds HALF_UP while DuckDB rounds
+    half-to-even — the explicit form is bit-identical in both engines.
+    Kept as array<long> (values fit int8; the storage win is realized by
+    the parquet INT8 physical type at write time)."""
+    return F.transform(unit_vec, lambda x: F.floor(x * 127.0 + 0.5))
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Integer dot product — EXACT (no float summation-order noise at
+    all: 64 products bounded by 127² sum far below 2⁵³), so quantized
+    scores need no rounding for cross-engine parity."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def normalize_with(a: Column, norm_col: Column) -> Column:
     """Unit-normalize against a PRE-MATERIALIZED norm column so pairwise
     cosine collapses to a single dot fold — O(pairs·d) instead of

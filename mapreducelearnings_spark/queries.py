@@ -1105,6 +1105,41 @@ def q_ann_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_topk_q8",
+    f"""
+    WITH {_EMB_CTE},
+    qv AS (SELECT vec_id,
+           list_transform(ne, x -> CAST(floor(x * 127.0 + 0.5) AS BIGINT)) AS q
+           FROM e),
+    qn AS (SELECT vec_id, q,
+           sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS qn FROM qv),
+    qs AS (SELECT vec_id AS query_id, q AS qq, qn AS qqn
+           FROM qn WHERE vec_id < 8),
+    scored AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+               ROUND(CAST(list_dot_product(qs.qq, c.q) AS DOUBLE)
+                     / (qs.qqn * c.qn), 6) AS cos_q8
+               FROM qn c CROSS JOIN qs WHERE c.vec_id <> qs.query_id),
+    rk AS (SELECT query_id, neighbor_id, cos_q8,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_q8 DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos_q8, 4) AS cos_q8,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    doc="Top-k over int8-quantized unit vectors — the 4×-compressed "
+    "scan path (parquet INT8 arrays, integer-SIMD dots at 100 TB). "
+    "floor(x·127+0.5) quantization is bit-identical in both engines "
+    "(explicit half-up — Spark round() is HALF_UP, DuckDB's is "
+    "half-even), and integer dots are EXACT, so the quantized ranking "
+    "is fully oracle-checked; rank overlap vs the float path is "
+    "asserted in pytest. Composes with IVF/LSH candidate pruning.",
+)
+def q_similarity_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.cosine_topk_q8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "ann_ivf_topk",
     f"""
     WITH {_EMB_CTE},
@@ -1958,6 +1993,49 @@ def q_customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_hour",
+    """
+    SELECT event_id, user_id, ts_sec,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_last_hour,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+               AS v_last_hour
+    FROM (SELECT event_id, user_id,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, value
+          FROM events)
+    """,
+    doc="RANGE-frame sliding window: per event, the count and value-sum "
+    "of the same user's events in the trailing hour — the rate-limit / "
+    "burst-detection shape. The frame is bounded by the ORDER-BY "
+    "*value* (ts_sec - 3600), not a row count, so ties are framed "
+    "deterministically in both engines; one hash shuffle on user_id.",
+)
+def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("v_last_hour"),
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -2001,7 +2079,7 @@ _TAIL = [
     "ann_lsh_topk", "dedup_ngram_jaccard", "token_counts_bpe",
     "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
     "distinct_users_per_type", "anti_join", "set_intersect",
-    "quality_filter",
+    "quality_filter", "events_rolling_hour", "similarity_topk_q8",
 ]
 
 

@@ -193,6 +193,52 @@ def test_embedding_clusters_group_every_pair(spark, sf_dir):
         assert c == min(vs)
 
 
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """The sketch path for cardinality at 100 TB: HLL++ estimates must
+    land within 3× the configured relative standard deviation of the
+    exact distinct counts (exact COUNT(DISTINCT) is the oracle-checked
+    query — distinct_users_per_type; the sketch is engine-specific, so
+    its contract is an error bound, not a hash match)."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3 * 0.05 * r["exact"], 1), (
+            r["event_type"], r["exact"], r["approx"],
+        )
+
+
+def test_quantized_topk_tracks_float_path(spark, sf_dir):
+    """int8 quantization must stay within the analytic error envelope
+    (observed ≤0.007 on this corpus; bound 0.02) and preserve the top-5
+    ranking almost everywhere (overlap ≥0.9; observed 1.0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in SS.cosine_topk(emb, n_queries=8, k=500).collect()
+    }
+    top5: dict[int, set] = {}
+    for r in SS.cosine_topk(emb, n_queries=8, k=5).collect():
+        top5.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    q8 = SS.cosine_topk_q8(emb, n_queries=8, k=5).collect()
+    assert q8
+    got: dict[int, set] = {}
+    for r in q8:
+        assert abs(r["cos_q8"] - exact[(r["query_id"], r["neighbor_id"])]) <= 0.02
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    overlap = sum(len(top5[q] & got[q]) for q in top5) / sum(
+        len(v) for v in top5.values()
+    )
+    assert overlap >= 0.9, overlap
+
+
 def test_bruteforce_topk_is_sorted_and_k_bounded(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = SS.cosine_topk(emb, n_queries=4, k=5).collect()

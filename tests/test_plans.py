@@ -95,3 +95,38 @@ def test_bruteforce_simsearch_is_the_documented_cartesian(spark, sf_dir):
     assert it so a silent plan change doesn't invalidate the docs."""
     plan = plan_of(spark, sf_dir, "similarity_topk")
     assert ("BroadcastNestedLoopJoin" in plan) or ("CartesianProduct" in plan)
+
+
+def test_embedding_lsh_near_dup_avoids_cartesian(spark, sf_dir):
+    """The registered near-dup query joins on (table, bucket) and
+    re-attaches vectors by id — no cross product anywhere (the round-2
+    scale-killer this path replaced)."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # Arrow-batched exact scorer
+
+
+def test_ivf_assignment_partial_aggregates_before_shuffle(spark, sf_dir):
+    """IVF: centroids broadcast; the argmax assignment must partial-agg
+    (max_by) map-side so the shuffle carries one row per vector, and the
+    probe join must be a broadcast hash join on the cell id."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "partial_max_by" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_filter_is_shuffle_free_scan(spark, sf_dir):
+    """The keep/drop gate runs at scan speed: no Exchange of any kind in
+    the plan — filter + projection only."""
+    plan = plan_of(spark, sf_dir, "quality_filter")
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_rolling_hour_single_hash_exchange(spark, sf_dir):
+    """RANGE-frame window: exactly one hash exchange (on user_id), no
+    range partitioning / global sort."""
+    plan = plan_of(spark, sf_dir, "events_rolling_hour")
+    assert plan.count("- Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
