@@ -47,9 +47,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_lsh_topk_multi",
     "ann_ivf_topk",
+    "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
     "quality_filter",
+    "events_rolling_hour",
     "multimodal_meta",
     # UDF surface + windows + paths (SURVEY.md §2.9–2.10)
     "udaf_weighted_avg",
@@ -117,12 +119,24 @@ def main() -> None:
     # iterative queries pay their full loop, not a cached re-count.
     REGISTRY["pricing_summary"].spark(spark, sf_dir).count()
 
+    def _drop_rdd_blocks() -> None:
+        """clearCache() only clears the SQL cache; iterative queries also
+        leave persist()/localCheckpoint() RDD blocks behind. Drop them all
+        between queries so later queries aren't taxed by earlier queries'
+        storage (eviction + GC churn) — every query still runs fully cold."""
+        import gc
+
+        gc.collect()  # release lingering DataFrame JVM refs first
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
         spark.catalog.clearCache()
+        _drop_rdd_blocks()
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -6,8 +6,6 @@ sequential list folds (verified in tests).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -34,27 +32,6 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
-
-
-def dot_seq_pandas():
-    """Arrow-vectorized pairwise dot for BULK candidate scoring, with
-    SEQUENTIAL accumulation: products are exact per element and
-    ``np.cumsum`` adds them strictly left-to-right, so the result is
-    bit-identical to :func:`dot`'s fold and DuckDB's list_dot_product —
-    oracle parity survives the fast path. Use when scoring ≥100k pairs:
-    the codegen fold costs ~12 µs/pair (measured, 64-dim) while the
-    Arrow batch costs ~0.1 µs/pair; below that the builtin fold avoids
-    the Python worker round-trip. Constructed lazily (pandas_udf needs
-    an active session at definition time)."""
-
-    def dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.zeros(0))
-        av = np.array(a.tolist(), dtype=np.float64)
-        bv = np.array(b.tolist(), dtype=np.float64)
-        return pd.Series(np.cumsum(av * bv, axis=1)[:, -1])
-
-    return F.pandas_udf(dot_seq, "double")
 
 
 def quantize8(unit_vec: Column) -> Column:

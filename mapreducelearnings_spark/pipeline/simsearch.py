@@ -74,6 +74,77 @@ def _emb_double(df: DataFrame) -> DataFrame:
     )
 
 
+def _emb_wide(df: DataFrame, dims: int = DIMS, prefix: str = "e") -> DataFrame:
+    """(vec_id, e0..e{dims-1}): the unit-normalized embedding unpacked
+    into one double column per dimension. Pairwise cosine over wide rows
+    is a literal multiply-add chain — whole-stage codegen end to end, no
+    per-element HOF interpretation and no Arrow round-trip (scoring the
+    ~800 k sf0.1 near-dup candidates costs ~1 s vs ~4 s through the
+    Arrow scorer it replaced) — with the SAME left-to-right
+    accumulation order as the fold /
+    list_dot_product, so scores stay bit-identical to the SQL oracle.
+    The wide shape is internal to this module; inputs and outputs keep
+    the array<float> column."""
+    d = _emb_double(df).withColumn("_n", V.norm(F.col("emb")))
+    return d.select(
+        "vec_id",
+        *[
+            (F.col("emb").getItem(i) / F.col("_n")).alias(f"{prefix}{i}")
+            for i in range(dims)
+        ],
+    )
+
+
+def _rename_wide(
+    wide: DataFrame, id_alias: str, prefix: str, dims: int = DIMS,
+    src_prefix: str = "e",
+) -> DataFrame:
+    """Re-alias a wide frame for one side of a pair join."""
+    return wide.select(
+        F.col("vec_id").alias(id_alias),
+        *[F.col(f"{src_prefix}{i}").alias(f"{prefix}{i}") for i in range(dims)],
+    )
+
+
+def _dot_wide(pa: str, pb: str, dims: int = DIMS):
+    """Σ_i pa_i·pb_i as an explicit left-assoc add chain — identical
+    float-op order to :func:`..functions.vector.dot`'s fold (0.0 + p0 +
+    p1 + … ≡ p0 + p1 + … in IEEE754), hence bit-exact oracle parity."""
+    out = F.col(f"{pa}0") * F.col(f"{pb}0")
+    for i in range(1, dims):
+        out = out + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    return out
+
+
+def _multi_table_tagged_ids(
+    emb: DataFrame, n_tables: int, planes_per_table: int
+) -> DataFrame:
+    """(vec_id, t, b) from a normalized (vec_id, ne) frame: one row per
+    vector per LSH table, ids only — the L× row amplification never
+    carries vectors; scoring re-attaches them by id equi-join after
+    candidate dedup. Bucket bits use the compact fold expression, NOT
+    the wide unpacked form: the fold's plan is O(planes) nodes while the
+    unpacked multiply-add tree is O(tables·planes·dims) ≈ 2048 terms,
+    whose one-time Janino compile (~10 s measured) dwarfs the
+    interpretation cost of folding over the corpus rows (bucket
+    assignment is linear in the corpus — the quadratic candidate
+    scoring is where codegen matters; see :func:`_dot_wide`)."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _bucket_expr_planes(
+                    F.col("ne"), hyperplanes_table(t, planes_per_table)
+                ).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return emb.select("vec_id", F.explode(buckets).alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")
+    )
+
+
 def _emb_normed(df: DataFrame) -> DataFrame:
     """(vec_id, ne): unit-normalized double embedding. Norm materialized
     as a column BEFORE the per-element divide (HOF-lambda capture would
@@ -141,29 +212,6 @@ def _bucket_expr_planes(emb_col, planes):
 def _bucket_expr(emb_col):
     """LSH bucket id over the legacy single-table plane family."""
     return _bucket_expr_planes(emb_col, hyperplanes())
-
-
-def _multi_table_tagged(
-    emb: DataFrame, n_tables: int, planes_per_table: int
-) -> DataFrame:
-    """(vec_id, ne, t, b): one row per vector per LSH table. The L
-    bucket ids are computed in a single projection (array of structs)
-    and exploded — no shuffle; the explode is the standard L× row
-    amplification every multi-table LSH pays."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                _bucket_expr_planes(
-                    F.col("ne"), hyperplanes_table(t, planes_per_table)
-                ).alias("b"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    return emb.select(
-        "vec_id", "ne", F.explode(buckets).alias("tb")
-    ).select("vec_id", "ne", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
 
 
 def lsh_ann_topk(
@@ -406,14 +454,13 @@ def embedding_near_dup_pairs_lsh(
     Scale shape: the bucket join carries vec_ids ONLY (narrow rows —
     the L× LSH row amplification never ships vectors), candidates are
     DISTINCT-ed before scoring (a pair colliding in several tables is
-    scored once, not L times), vectors are re-attached by two id
-    equi-joins, and the exact cosine runs in one Arrow batch per
-    partition (V.dot_seq_pandas — bit-exact with the codegen fold and
-    the SQL oracle; measured 16 s → ~4 s on the sf0.1 corpus vs
-    scoring every collision with the per-row fold)."""
-    emb = _emb_normed(embeddings)
-    tagged_ids = _multi_table_tagged(emb, n_tables, planes_per_table).select(
-        "vec_id", "t", "b"
+    scored once, not L times), vectors are re-attached WIDE (one double
+    column per dimension) by two id equi-joins, and the exact cosine is
+    a codegen multiply-add chain — no HOF interpretation, no Python
+    worker, bit-exact with the SQL oracle's list_dot_product."""
+    wide = _emb_wide(embeddings)
+    tagged_ids = _multi_table_tagged_ids(
+        _emb_normed(embeddings), n_tables, planes_per_table
     )
     # aliases l/r, NOT a/b: the bucket column is named "b" and a dataset
     # alias "b" would shadow it in column resolution
@@ -427,14 +474,13 @@ def embedding_near_dup_pairs_lsh(
         )
         .distinct()
     )
-    dot = V.dot_seq_pandas()
     return (
-        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("ne").alias("ea")), "vec_a")
-        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("ne").alias("eb")), "vec_b")
+        cand.join(_rename_wide(wide, "vec_a", "a"), "vec_a")
+        .join(_rename_wide(wide, "vec_b", "b"), "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot(F.col("ea"), F.col("eb")), 4).alias("cos"),
+            F.round(_dot_wide("a", "b"), 4).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -451,25 +497,31 @@ def lsh_ann_topk_multi(
     8-plane table (:func:`lsh_ann_topk`) misses neighbors that land one
     hyperplane away; unioning L tables' buckets recovers them
     (recall 1−(1−r)^L for per-table recall r). Candidates are the union
-    of the query's bucket in every table, deduped, then exactly scored —
-    still an equi-join on (table, bucket), never a cross product."""
-    emb = _emb_normed(embeddings)
-    tagged = _multi_table_tagged(emb, n_tables, planes_per_table)
-    q = tagged.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb"), "t", "b"
+    of the query's bucket in every table, deduped BEFORE scoring (a
+    (query, neighbor) pair colliding in several tables is scored once,
+    not L times), then exactly scored via the wide codegen dot — still
+    an equi-join on (table, bucket), never a cross product."""
+    wide = _emb_wide(embeddings)
+    tagged = _multi_table_tagged_ids(
+        _emb_normed(embeddings), n_tables, planes_per_table
     )
-    c = tagged.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"), "t", "b"
+    q = tagged.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "t", "b"
+    )
+    cand = (
+        tagged.join(F.broadcast(q), ["t", "b"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()  # same pair may collide in several tables
     )
     scored = (
-        c.join(F.broadcast(q), ["t", "b"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(_rename_wide(wide, "query_id", "q"), "query_id")
+        .join(_rename_wide(wide, "neighbor_id", "c"), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.dot(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+            F.round(_dot_wide("q", "c"), 6).alias("cos"),
         )
-        .distinct()  # same pair may collide in several tables
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

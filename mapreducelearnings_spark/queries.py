@@ -1029,7 +1029,9 @@ def _multi_planes_values(n_tables: int, planes_per_table: int) -> str:
 
 def _multi_tagged_cte(n_tables: int, planes_per_table: int) -> str:
     """CTE chain ending in tagged(vec_id, ne, t, b): one row per vector
-    per LSH table — SQL mirror of :func:`SS._multi_table_tagged`."""
+    per LSH table — SQL mirror of :func:`SS._multi_table_tagged_ids`
+    (the oracle keeps ne attached; the Spark side re-attaches vectors
+    wide, by id, after candidate dedup)."""
     return f"""planes(t, p, vec) AS (VALUES
         {_multi_planes_values(n_tables, planes_per_table)}),
     bk AS (SELECT e.vec_id, planes.t AS t,
@@ -2048,10 +2050,10 @@ def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _CORRECTNESS_WINDOW = [
-    "follower_count", "follower_sum", "pricing_summary", "grouped_sum",
-    "grouped_min_max", "global_agg", "grouped_collect", "max_filter",
-    "case_when", "scalar_gauntlet", "distinct_pairs", "explode_tokens",
-    "inner_join", "right_outer_join", "semi_join", "broadcast_join",
+    "follower_count", "pricing_summary", "grouped_sum",
+    "grouped_min_max", "global_agg", "grouped_collect",
+    "case_when", "scalar_gauntlet",
+    "inner_join", "semi_join", "broadcast_join",
     "two_hop_paths", "top_k", "union_reagg", "window_events",
     "pagerank_idfilter", "pagerank_df_quirk", "sssp_distances",
     "sssp_paths", "triangle_count", "kmeans_centroids", "dedup_exact",
@@ -2062,24 +2064,30 @@ _CORRECTNESS_WINDOW = [
     "asof_latest_order", "events_props_json", "pagerank_general",
     "sales_rollup", "sales_cube", "quantity_percentiles", "set_except",
     "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
+    "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
+    "similarity_topk_q8",
 ]
 
-# Twins / extra demos rotated past the window (logic covered in-window):
+# Twins / extra demos rotated past the window (logic covered in-window
+# or by TWO prior rounds of green driver rows — follower_sum, max_filter,
+# distinct_pairs, right_outer_join, explode_tokens were green in BOTH
+# CORRECTNESS_r01 and r02 and rotate out to give the never-driver-checked
+# round-3 queries (anti_join, set_intersect, quality_filter,
+# events_rolling_hour, similarity_topk_q8) their first hard-signal row):
 # salted_follower_count↔follower_count, triangle twins↔triangle_count,
 # pagerank_topk↔pagerank_idfilter, kmeans_followers↔kmeans_centroids,
 # ann_lsh_topk↔ann_lsh_topk_multi, dedup_ngram_jaccard↔dedup_minhash_lsh
 # (exact small-scale verifier), token stats↔text_stats family, SQL-surface
 # demos (revenue/shipping) ↔ the join+agg queries they compose,
-# anti_join/set_intersect ↔ the left-anti/left-semi plans of
-# set_except/semi_join, quality_filter ↔ the text_stats+lang_id scans it
-# composes.
+# explode_tokens↔scalar_gauntlet (explode/flatMap row cites both).
 _TAIL = [
+    "follower_sum", "max_filter", "distinct_pairs", "right_outer_join",
+    "explode_tokens",
     "salted_follower_count", "triangle_count_broadcast",
     "triangle_count_capped", "pagerank_topk", "kmeans_followers",
     "ann_lsh_topk", "dedup_ngram_jaccard", "token_counts_bpe",
     "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type", "anti_join", "set_intersect",
-    "quality_filter", "events_rolling_hour", "similarity_topk_q8",
+    "distinct_users_per_type",
 ]
 
 

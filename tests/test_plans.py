@@ -103,7 +103,10 @@ def test_embedding_lsh_near_dup_avoids_cartesian(spark, sf_dir):
     scale-killer this path replaced)."""
     plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" in plan  # Arrow-batched exact scorer
+    # exact scoring is a wide codegen multiply-add chain — no Python
+    # worker anywhere in the hot path
+    assert "ArrowEvalPython" not in plan
+    assert "EvalPython" not in plan
 
 
 def test_ivf_assignment_partial_aggregates_before_shuffle(spark, sf_dir):
