@@ -128,7 +128,8 @@ def main() -> None:
 
         gc.collect()  # release lingering DataFrame JVM refs first
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+            rdd.unpersist(True)  # blocking, so removal never overlaps
+            # the next query's timed window
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -344,7 +344,7 @@ def sssp_with_paths(
 
 
 # ---------------------------------------------------------------------------
-# Connected components (min-label propagation)
+# Connected components (two-phase distributed union-find)
 # ---------------------------------------------------------------------------
 
 

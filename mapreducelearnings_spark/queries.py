@@ -1204,7 +1204,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY v
     """,
     doc="Embedding near-duplicate CLUSTERS: connected components "
-    "(min-label propagation, the same §2.8 fixpoint machinery as "
+    "(two-phase distributed union-find, same operator as "
     "dedup_clusters) over the multi-table-LSH cosine pairs — turns "
     "pairwise near-dups into keep-one-per-group dedup sets for the "
     "embedding modality, completing the text-side MinHash pipeline's "
@@ -1643,7 +1643,8 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
     """,
     doc="Near-duplicate CLUSTERS: undirected connected components "
-    "(min-label propagation, reusing the SSSP fixpoint machinery) over "
+    "(two-phase distributed union-find: per-partition contraction, "
+    "root-graph merge, broadcast label join) over "
     "the MinHash-LSH candidate pairs — the step that turns pairwise "
     "collisions into dedup groups (SURVEY.md §2.11). Oracle recomputes "
     "components via recursive reachability.",

@@ -154,6 +154,21 @@ def test_connected_components_micro_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
 
 
+def test_connected_components_long_path_and_multi_round(spark):
+    """A 64-vertex path graph is one component (the old min-label loop's
+    worst case — diameter shuffle rounds; union-find contracts it in one
+    pass), and forcing driver_edge_cap=1 exercises the extra
+    distributed-contraction rounds plus the label-composition joins."""
+    rows = [(i, i + 1) for i in range(64)]
+    edges = spark.createDataFrame(rows, "src: long, dst: long")
+    for kwargs in ({}, {"driver_edge_cap": 1}):
+        got = {
+            r["vertex"]: r["component"]
+            for r in G.connected_components(spark, edges, **kwargs).collect()
+        }
+        assert got == {v: 0 for v in range(65)}
+
+
 def test_connected_components_cluster_invariants(spark, sf_dir):
     """Every vertex's component label is the min vertex of its component,
     and endpoints of every edge share a component."""
