@@ -37,19 +37,12 @@ HEADLINE = [
     "triangle_count",
     "triangle_count_broadcast",
     "kmeans_centroids",
-    # LLM-pipeline layer (SURVEY.md §2.11)
+    # LLM-pipeline layer, text side (SURVEY.md §2.11)
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_fingerprints",
     "text_stats",
     "doc_fingerprints",
-    "similarity_topk",
-    "ann_lsh_topk",
-    "ann_lsh_topk_multi",
-    "ann_ivf_topk",
-    "similarity_topk_q8",
-    "dedup_embedding_cosine",
-    "dedup_embedding_clusters",
     "quality_filter",
     "events_rolling_hour",
     "multimodal_meta",
@@ -61,8 +54,11 @@ HEADLINE = [
     "sql_revenue_by_nation",
     "shipping_priority",
     "kmeans_followers",
-    # dedup clustering + distinct agg + token stats
+    # dedup clustering (Python union-find vs pure-JVM star contraction —
+    # same oracle; bench shows which contraction wins at this SF)
     "dedup_clusters",
+    "dedup_clusters_star",
+    "corpus_curation",
     "distinct_users_per_type",
     "token_counts_bpe",
     "token_doc_frequency",
@@ -74,6 +70,19 @@ HEADLINE = [
     "pagerank_df_quirk",
     "sales_rollup",
     "quantity_percentiles",
+    # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
+    # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
+    # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,
+    # with zero code change — VERDICT r03 "What's wrong #3"). Running it
+    # after every narrow query removes that contamination channel.
+    "similarity_topk",
+    "ann_lsh_topk_single_baseline",
+    "ann_lsh_topk_multi",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "similarity_topk_q8",
+    "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
 ]
 
 
@@ -98,11 +107,16 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         return round(hits / n_truth, 4)
 
     return {
-        "ann_lsh_topk": recall(SS.lsh_ann_topk(emb, n_queries=8, k=5).collect()),
+        "ann_lsh_topk_single_baseline": recall(
+            SS.lsh_ann_topk(emb, n_queries=8, k=5).collect()
+        ),
         "ann_lsh_topk_multi": recall(
             SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
         ),
         "ann_ivf_topk": recall(SS.ivf_topk(emb, n_queries=8, k=5).collect()),
+        "ann_ivf_trained_topk": recall(
+            SS.ivf_topk_trained(emb, n_queries=8, k=5).collect()
+        ),
     }
 
 
@@ -131,16 +145,26 @@ def main() -> None:
             rdd.unpersist(True)  # blocking, so removal never overlaps
             # the next query's timed window
 
+    # Each query is timed REPEATS times and the MIN is reported: the min
+    # is the run least taxed by ambient JVM noise (GC of a predecessor's
+    # garbage, heap fragmentation), which round 3 showed can tax an
+    # unchanged query 2.5× purely by bench ordering. Every repeat is
+    # still a fully cold plan (cache + RDD blocks cleared each time) —
+    # min-of-k de-noises the measurement without warming anything.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        spark.catalog.clearCache()
-        _drop_rdd_blocks()
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(repeats):
+            spark.catalog.clearCache()
+            _drop_rdd_blocks()
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -502,6 +502,89 @@ def connected_components(
     return out
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One LARGE-STAR (or SMALL-STAR) round of the alternating
+    min-label contraction from Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC 2014) — entirely JVM-side (groupBy +
+    collect_set + explode + codegen comparisons), no Python.
+
+    For each vertex u with (symmetrized) neighborhood Γ(u) and
+    m = min(Γ(u) ∪ {u}):
+
+    - large-star emits (v, m) for every neighbor v > u;
+    - small-star emits (v, m) for every neighbor v ≤ u, plus (u, m).
+
+    Both operations preserve the connected components of the graph and
+    the vertex set (every non-isolated vertex reappears in the output),
+    while monotonically pulling edges toward each component's minimum —
+    so a fixed number of rounds is a CORRECT pre-contraction for any
+    exact finisher. One shuffle per round (the groupBy on u; the
+    explode is map-side). Known caveat at scale: the min label of a big
+    component accumulates degree round over round (the paper's skew),
+    so this phase is bounded to a few rounds and an exact finisher
+    (union-find) handles the residual.
+    """
+    sym = edges.where(F.col("src") != F.col("dst"))
+    sym = sym.union(sym.select(F.col("dst"), F.col("src")))
+    grouped = sym.groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs"),
+        F.min("dst").alias("mn"),
+    )
+    m = F.least(F.col("mn"), F.col("src"))
+    ex = grouped.select(
+        F.col("src").alias("u"), m.alias("m"), F.explode("nbrs").alias("v")
+    )
+    if large:
+        out = ex.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = (
+            ex.where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .union(grouped.select(F.col("src"), m.alias("dst")))
+        )
+    return out.where(F.col("src") != F.col("dst"))
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    star_rounds: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """Connected components with a pure-JVM pre-contraction: a few
+    alternating large-star/small-star rounds (all codegen — see
+    :func:`_star_round`) collapse most of each component onto its
+    minimum label BEFORE the exact :func:`connected_components`
+    union-find finisher sees the edges. Same (vertex, component) output
+    contract, component = min vertex id.
+
+    Why both paths exist: the two-phase union-find's phase 1 iterates
+    edge rows in Python inside Arrow batches — exact and
+    partition-parallel, but the engine's one Python-speed inner loop.
+    Star rounds keep the whole contraction JVM-side at one shuffle per
+    round; after 2 rounds the residual graph is mostly stars, so the
+    Python loop touches near-trivial state. At 100 TB pick by edge
+    volume: star rounds win when Python-batch throughput is the
+    bottleneck; straight union-find wins when the extra star shuffles
+    dominate (measured at sf0.1 in bench.py: `dedup_clusters` vs
+    `dedup_clusters_star`).
+    """
+    e = edges.select("src", "dst")
+    # Self-loops carry no connectivity but DO carry vertex existence
+    # (a vertex seen only as (v, v) must still get a singleton label,
+    # matching connected_components' contract); star rounds drop them,
+    # so re-attach after contraction for the finisher to register.
+    selfs = e.where(F.col("src") == F.col("dst")).distinct()
+    for i in range(star_rounds):
+        # localCheckpoint between rounds keeps the loop plan linear
+        # (same reason as the PageRank runner): round k+1's groupBy
+        # otherwise re-plans k stacked shuffles.
+        e = _star_round(e, large=(i % 2 == 0)).localCheckpoint(eager=True)
+    return connected_components(spark, e.union(selfs), **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # Standard (damped, out-degree-normalized) PageRank — generalizes the
 # reference's chain-only variant to arbitrary graphs.

@@ -409,6 +409,158 @@ def ivf_topk(
     )
 
 
+IVF_LLOYD_ROUNDS = 2
+
+
+def _assign_to_literal_centroids(emb: DataFrame, centroids) -> DataFrame:
+    """(vec_id, ne, cell): nearest-centroid assignment against a literal
+    (cid, vec) list — pure map-side codegen, NO shuffle and no join at
+    all (the centroids ride in the plan, the fleet-wide equivalent of a
+    broadcast). Argmax via array_max over struct(cs, -cid): highest
+    cosine, ties to the smallest cid — same order as the oracle's
+    ROW_NUMBER(cs DESC, cid ASC)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                V.dot(
+                    F.col("ne"), F.array(*[F.lit(x) for x in vec])
+                ).alias("cs"),
+                F.lit(-cid).alias("nc"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return emb.select(
+        "vec_id",
+        "ne",
+        (-F.array_max(pairs).getField("nc")).cast("long").alias("cell"),
+    )
+
+
+def lloyd_train(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    rounds: int = IVF_LLOYD_ROUNDS,
+    dims: int = DIMS,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) training of the IVF coarse quantizer:
+    init = the deterministic sample (first ``n_cells`` vec_ids, the same
+    seed :func:`ivf_assign` uses untrained), then ``rounds`` iterations
+    of assign → element-wise mean → re-normalize. Returns the trained
+    (cid, components) list, sorted by cid.
+
+    Cross-engine determinism (the property that keeps this
+    oracle-checkable): per-cell means are the ONE order-dependent float
+    reduction, so each component is ROUNDed to 9 dp before anything
+    downstream — both engines then see bit-identical means, and the
+    normalization (left-assoc square sum, sqrt, divide) is bit-exact
+    from there. The SQL mirror unrolls the same rounds
+    (queries._ivf_trained_oracle).
+
+    Scale shape: each round is one map-side literal-centroid argmax
+    (zero-shuffle assignment) + one 16-row partial-agg groupBy + a
+    k-row collect — the classic k-means control channel
+    (operators/kmeans.py does the same in 1-D). Training cost is
+    rounds × one corpus scan; at 100 TB you train on a bounded sample
+    (pass a .where-sampled frame) and assign the full corpus once at
+    ingest."""
+    emb = _emb_normed(embeddings)
+    cent = [
+        (int(r["vec_id"]), [float(x) for x in r["ne"]])
+        for r in emb.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "ne")
+        .collect()
+    ]
+    cent.sort()
+    for _ in range(rounds):
+        assigned = _assign_to_literal_centroids(emb, cent)
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.col("ne").getItem(i)), 9).alias(f"m{i}")
+                for i in range(dims)
+            ]
+        )
+        sq = F.col("m0") * F.col("m0")
+        for i in range(1, dims):
+            sq = sq + F.col(f"m{i}") * F.col(f"m{i}")
+        normed = means.withColumn("_nrm", F.sqrt(sq)).select(
+            "cell",
+            *[(F.col(f"m{i}") / F.col("_nrm")).alias(f"c{i}") for i in range(dims)],
+        )
+        cent = sorted(
+            (int(r["cell"]), [float(r[f"c{i}"]) for i in range(dims)])
+            for r in normed.collect()
+        )
+    return cent
+
+
+def ivf_topk_trained(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+    rounds: int = IVF_LLOYD_ROUNDS,
+) -> DataFrame:
+    """IVF-Flat top-k over the LLOYD-TRAINED quantizer — closes the
+    "a trained one plugs into the same plumbing" note on
+    :func:`ivf_assign`: same probe/score shape as :func:`ivf_topk`,
+    centroids trained by :func:`lloyd_train` instead of sampled.
+    Training balances cell populations, which is what bounds the
+    worst-case probe cost at scale (a sampled quantizer inherits the
+    corpus's density skew; Lloyd iterates it away)."""
+    cent_rows = lloyd_train(embeddings, n_cells, rounds)
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        cent_rows, "cid long, ce array<double>"
+    )
+    emb = _emb_normed(embeddings)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "ne", "cid", V.dot(F.col("ne"), F.col("ce")).alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+            F.any_value(F.col("ne")).alias("ne"),
+        )
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "ne")
+    )
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb")
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qemb", "cid", V.dot(F.col("qemb"), F.col("ce")).alias("cs")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    qprobe = (
+        qs.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select("query_id", "qemb", F.col("cid").cast("long").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col("qemb"), F.col("ne")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

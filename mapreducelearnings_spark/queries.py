@@ -733,6 +733,7 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are fully oracle-checked — not rows-only.
 # ===========================================================================
 
+from .pipeline import curation as CU  # noqa: E402
 from .pipeline import dedup as DD  # noqa: E402
 from .pipeline import multimodal as MM  # noqa: E402
 from .pipeline import simsearch as SS  # noqa: E402
@@ -1005,12 +1006,15 @@ def _ann_oracle() -> str:
 
 
 @register(
-    "ann_lsh_topk",
+    "ann_lsh_topk_single_baseline",
     _ann_oracle(),
-    doc="LSH-bucketed approximate top-k: random-hyperplane bucket "
-    "(8 md5-derived planes, identical literals in both engines) replaces "
-    "the cross product with an equi-join — the 100 TB ANN path. "
-    "Approximate recall, but deterministically so: fully oracle-checked.",
+    doc="SINGLE-table LSH top-k — kept ONLY as the recall floor for the "
+    "production ANN paths (measured recall@5 = 0.025 on this corpus: one "
+    "8-plane bucket almost never holds a wide-angle vector's true "
+    "neighbors). Use ann_lsh_topk_multi (recall 0.75) or ann_ivf_topk "
+    "(recall 1.0) for actual search; this entry exists so the bench can "
+    "report how much the multi-table/IVF machinery buys. "
+    "Deterministically approximate, hence still fully oracle-checked.",
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_ann_topk(load_table(spark, sf_dir, "embeddings"))
@@ -1181,6 +1185,86 @@ def q_similarity_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _ivf_trained_oracle(
+    n_cells: int = SS.IVF_CELLS,
+    n_probes: int = SS.IVF_PROBES,
+    rounds: int = SS.IVF_LLOYD_ROUNDS,
+    dims: int = SS.DIMS,
+) -> str:
+    """SQL mirror of SS.lloyd_train + SS.ivf_topk_trained: the Lloyd
+    rounds are UNROLLED (assign → 9-dp-rounded element-wise mean →
+    re-normalize, per round), so DuckDB re-derives the same trained
+    centroids from the data instead of receiving literals — the oracle
+    stays scale-independent. The 9-dp round after AVG is the one spot
+    where engine summation order could diverge; everything downstream
+    (left-assoc square sum, sqrt, divide, dots) is bit-exact given
+    identical inputs."""
+    ctes = [f"c0 AS (SELECT vec_id AS cid, ne AS ce FROM e WHERE vec_id < {n_cells})"]
+    for r in range(rounds):
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, ne, cid AS cell FROM "
+            f"(SELECT e.vec_id, e.ne, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_dot_product(e.ne, c.ce) DESC, c.cid ASC) AS rn "
+            f"FROM e CROSS JOIN c{r} c) WHERE rn = 1)"
+        )
+        avgs = ", ".join(f"ROUND(AVG(ne[{i + 1}]), 9)" for i in range(dims))
+        ctes.append(
+            f"m{r} AS (SELECT cell AS cid, [{avgs}] AS m FROM a{r} GROUP BY cell)"
+        )
+        sq = " + ".join(f"m[{i + 1}]*m[{i + 1}]" for i in range(dims))
+        comps = ", ".join(f"m[{i + 1}]/s" for i in range(dims))
+        ctes.append(
+            f"c{r + 1} AS (SELECT cid, [{comps}] AS ce FROM "
+            f"(SELECT cid, m, SQRT({sq}) AS s FROM m{r}))"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EMB_CTE},
+    {body},
+    ac AS (SELECT e.vec_id, e.ne, c.cid,
+           list_dot_product(e.ne, c.ce) AS cs
+           FROM e CROSS JOIN c{rounds} c),
+    cells AS (SELECT vec_id, ne, cid AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cs DESC, cid ASC) AS rn FROM ac)
+              WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, ne AS qemb, cid AS cell FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid ASC) AS rn
+                FROM ac WHERE vec_id < 8)
+               WHERE rn <= {n_probes}),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qemb", b="c.ne")}, 6) AS cos
+               FROM cells c JOIN qprobe q ON c.cell = q.cell
+               WHERE c.vec_id <> q.query_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_ivf_trained_topk",
+    _ivf_trained_oracle(),
+    doc="IVF-Flat ANN over the LLOYD-TRAINED coarse quantizer: 2 rounds "
+    "of spherical k-means (assign → 9-dp-rounded mean → re-normalize) "
+    "refine the sampled init before the same probe/score plumbing as "
+    "ann_ivf_topk. Training balances cell populations — the property "
+    "that bounds worst-case probe cost on a skewed real corpus. Each "
+    "Lloyd round is a zero-shuffle literal-centroid argmax plus a "
+    "16-row partial-agg groupBy + k-row collect (the k-means control "
+    "channel); the oracle unrolls the identical rounds in SQL, so the "
+    "trained result is fully value-checked, not just row-counted.",
+)
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.ivf_topk_trained(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -1613,9 +1697,7 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register(
-    "dedup_clusters",
-    f"""
+_DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     perms(i, pa, pb) AS (VALUES {_minhash_perms_values()}),
     base AS (SELECT doc_id,
@@ -1641,7 +1723,12 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sym.d AS v, reach.l FROM reach JOIN sym ON sym.s = reach.v
     )
     SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    _DEDUP_CLUSTERS_ORACLE,
     doc="Near-duplicate CLUSTERS: undirected connected components "
     "(two-phase distributed union-find: per-partition contraction, "
     "root-graph merge, broadcast label join) over "
@@ -1658,6 +1745,85 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_clusters_star",
+    _DEDUP_CLUSTERS_ORACLE,
+    doc="Same near-dup clusters through the PURE-JVM contraction path: "
+    "2 alternating large-star/small-star min-label rounds (Kiveris et "
+    "al., SoCC 2014 — groupBy + collect_set + explode, all codegen, one "
+    "shuffle per round) pre-collapse each component onto its minimum "
+    "before the exact union-find finisher handles the residual. Output "
+    "contract identical to dedup_clusters (same oracle); exists so the "
+    "engine has a zero-Python contraction option when Arrow-batch "
+    "Python throughput — not shuffle count — is the bottleneck.",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = G.connected_components_star(spark, edges)
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+_CURATION_ORACLE = f"""
+    WITH RECURSIVE
+    keepq AS (SELECT doc_id, token_count, quality_score
+              FROM ({{quality_filter}})),
+    dk AS (SELECT d.doc_id, d.text FROM documents d
+           JOIN keepq k ON d.doc_id = k.doc_id),
+    ek AS (SELECT MIN(doc_id) AS doc_id FROM dk GROUP BY md5(text)),
+    de AS (SELECT dk.doc_id, dk.text FROM dk JOIN ek ON dk.doc_id = ek.doc_id),
+    {_SHINGLES_CTE.replace("FROM documents", "FROM de")},
+    perms(i, pa, pb) AS (VALUES {_minhash_perms_values()}),
+    base AS (SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(shingle), 1, 15)) AS UBIGINT)
+                  % {X.MINHASH_M} AS BIGINT) AS h
+             FROM sh),
+    mh AS (SELECT doc_id, p.i AS i, MIN((p.pa * b.h + p.pb) % {X.MINHASH_M}) AS m
+           FROM base b CROSS JOIN perms p
+           GROUP BY doc_id, p.i),
+    bands AS (SELECT doc_id, i // {DD.ROWS_PER_BAND} AS band,
+              md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig
+              FROM mh GROUP BY doc_id, i // {DD.ROWS_PER_BAND}),
+    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+              WHERE x.doc_id < y.doc_id),
+    sym AS (SELECT DISTINCT s, d FROM
+            (SELECT a AS s, b AS d FROM pairs
+             UNION ALL SELECT b AS s, a AS d FROM pairs)),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    reach(v, l) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT sym.d AS v, reach.l FROM reach JOIN sym ON sym.s = reach.v
+    ),
+    clusters AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT de.doc_id, k.token_count, k.quality_score
+    FROM de JOIN keepq k ON de.doc_id = k.doc_id
+    WHERE de.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """
+
+
+@register(
+    "corpus_curation",
+    _CURATION_ORACLE.format(quality_filter=REGISTRY["quality_filter"].oracle),
+    doc="The composed end-to-end training-data curation pass: quality "
+    "gate (codegen scan, zero shuffles) → exact content-hash dedup (one "
+    "shuffle over gated survivors, keep min doc_id) → MinHash-LSH "
+    "near-dup clusters via distributed union-find (equi-join on band "
+    "signatures, keep each cluster's min member). Stage order is the "
+    "100 TB design: each stage shrinks what the next, more expensive "
+    "stage touches. Oracle recomposes all three stages in one SQL "
+    "statement from the same registered fragments.",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CU.curate_corpus(spark, load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2050,17 +2216,30 @@ def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and at sf0.01 by tools/check_oracles.py).
 # ===========================================================================
 
+# Round-4 rotation rationale (evidence-freshness, per ADVICE r03): the
+# union of CORRECTNESS_r01..r03 already gives every registry name ≥1
+# green driver row, so rotation now REFRESHES stale evidence rather than
+# filling gaps. In for r04: (a) the entries new/renamed this round with
+# no driver row under their current name (dedup_clusters_star,
+# ann_ivf_trained_topk, ann_lsh_topk_single_baseline), and (b) the 16
+# tail entries whose last driver row is r02 — two rounds of commits ago.
+# Out: 19 thrice-green (r01+r02+r03) relational/graph entries whose code
+# is untouched since r02 (grouped_* family, join family, sssp/pagerank/
+# triangle/kmeans cores, dedup_exact, simhash) — each retains 3
+# historical driver rows plus the full local oracle suite every round.
 _CORRECTNESS_WINDOW = [
-    "follower_count", "pricing_summary", "grouped_sum",
-    "grouped_min_max", "global_agg", "grouped_collect",
-    "case_when", "scalar_gauntlet",
-    "inner_join", "semi_join", "broadcast_join",
-    "two_hop_paths", "top_k", "union_reagg", "window_events",
-    "pagerank_idfilter", "pagerank_df_quirk", "sssp_distances",
-    "sssp_paths", "triangle_count", "kmeans_centroids", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_clusters", "simhash_fingerprints",
+    "corpus_curation", "pricing_summary", "follower_sum", "max_filter",
+    "distinct_pairs", "right_outer_join", "explode_tokens",
+    "salted_follower_count", "triangle_count_broadcast",
+    "triangle_count_capped", "pagerank_topk", "kmeans_followers",
+    "dedup_ngram_jaccard", "token_counts_bpe", "token_doc_frequency",
+    "sql_revenue_by_nation", "shipping_priority",
+    "distinct_users_per_type", "window_events",
+    "pagerank_df_quirk",
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_star",
     "text_stats", "lang_id", "doc_fingerprints", "similarity_topk",
-    "ann_lsh_topk_multi", "dedup_embedding_cosine", "multimodal_meta",
+    "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
+    "ann_ivf_trained_topk", "dedup_embedding_cosine", "multimodal_meta",
     "udf_discounted_price", "udaf_weighted_avg", "session_windows",
     "asof_latest_order", "events_props_json", "pagerank_general",
     "sales_rollup", "sales_cube", "quantity_percentiles", "set_except",
@@ -2069,26 +2248,18 @@ _CORRECTNESS_WINDOW = [
     "similarity_topk_q8",
 ]
 
-# Twins / extra demos rotated past the window (logic covered in-window
-# or by TWO prior rounds of green driver rows — follower_sum, max_filter,
-# distinct_pairs, right_outer_join, explode_tokens were green in BOTH
-# CORRECTNESS_r01 and r02 and rotate out to give the never-driver-checked
-# round-3 queries (anti_join, set_intersect, quality_filter,
-# events_rolling_hour, similarity_topk_q8) their first hard-signal row):
-# salted_follower_count↔follower_count, triangle twins↔triangle_count,
-# pagerank_topk↔pagerank_idfilter, kmeans_followers↔kmeans_centroids,
-# ann_lsh_topk↔ann_lsh_topk_multi, dedup_ngram_jaccard↔dedup_minhash_lsh
-# (exact small-scale verifier), token stats↔text_stats family, SQL-surface
-# demos (revenue/shipping) ↔ the join+agg queries they compose,
-# explode_tokens↔scalar_gauntlet (explode/flatMap row cites both).
+# Rotated out this round (all thrice-green r01+r02+r03, code untouched
+# since r02; every one is still oracle-checked locally at sf0.001 by
+# tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py):
 _TAIL = [
-    "follower_sum", "max_filter", "distinct_pairs", "right_outer_join",
-    "explode_tokens",
-    "salted_follower_count", "triangle_count_broadcast",
-    "triangle_count_capped", "pagerank_topk", "kmeans_followers",
-    "ann_lsh_topk", "dedup_ngram_jaccard", "token_counts_bpe",
-    "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type",
+    "follower_count",
+    "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
+    "case_when", "scalar_gauntlet",
+    "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
+    "top_k", "union_reagg",
+    "pagerank_idfilter", "sssp_distances", "sssp_paths",
+    "triangle_count", "kmeans_centroids", "dedup_exact",
+    "simhash_fingerprints",
 ]
 
 

@@ -20,8 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Raw schema of the events parquet as read with nanosAsLong (see
-# catalog.load_table): ts arrives as long nanoseconds.
+# Raw schema the file-stream source reads events.parquet with. NOTE the
+# unit asymmetry with the batch path: the parquet column is
+# TIMESTAMP(NANOS), and the *batch* reader (with the legacy nanosAsLong
+# conf, see session.py) surfaces it as long NANOseconds — but the
+# *streaming* reader with this explicit LongType schema coerces through
+# Spark's native microsecond timestamp first, so ``ts`` arrives here as
+# long MICROseconds. stream_events must therefore NOT reuse the batch
+# catalog's ``ts div 1000`` recipe (doing so put every event in Jan 1970
+# — caught by test_streaming_window_agg_matches_batch).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -67,7 +74,9 @@ def stream_events(
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # ts is long MICROseconds on the streaming path (see EVENTS_RAW_SCHEMA
+    # note) — no div 1000 here, unlike catalog.load_table's batch recipe.
+    events = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
     return events.withWatermark("ts", watermark)
 
 

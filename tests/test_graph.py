@@ -184,6 +184,51 @@ def test_connected_components_cluster_invariants(spark, sf_dir):
         assert c == min(vs)
 
 
+def test_connected_components_star_agrees_with_union_find(spark):
+    """The pure-JVM large-star/small-star pre-contraction must yield the
+    exact same (vertex, component) labeling as the straight two-phase
+    union-find on graphs that stress it differently: a long path (many
+    star rounds short of convergence — the union-find finisher must
+    absorb the residual), disjoint micro-components, a star, and a
+    random-ish multigraph with both edge directions and duplicates."""
+    graphs = [
+        [(i, i + 1) for i in range(64)],
+        [(1, 2), (3, 2), (9, 7), (11, 11)],
+        [(100, i) for i in range(1, 9)],
+        [(5, 3), (3, 5), (5, 3), (2, 8), (8, 6), (6, 2), (40, 41)],
+    ]
+    for rows in graphs:
+        edges = spark.createDataFrame(rows, "src: long, dst: long")
+        base = {
+            r["vertex"]: r["component"]
+            for r in G.connected_components(spark, edges).collect()
+        }
+        for rounds in (1, 2, 3):
+            star = {
+                r["vertex"]: r["component"]
+                for r in G.connected_components_star(
+                    spark, edges, star_rounds=rounds
+                ).collect()
+            }
+            assert star == base, (rows, rounds)
+
+
+def test_connected_components_star_plan_is_python_free_precontract(spark):
+    """The star rounds themselves must be JVM-only: no ArrowEvalPython /
+    mapInPandas node inside a round's plan (the Python union-find is
+    allowed only downstream, in the finisher)."""
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
+    one_round = G._star_round(edges, large=True)
+    plan = one_round._sc._jvm.PythonSQLUtils.explainString(
+        one_round._jdf.queryExecution(), "formatted"
+    )
+    # (the toy createDataFrame source prints as applySchemaToPythonRDD —
+    # only Python *eval* operators are forbidden in the round itself)
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
 # --- standard (damped) PageRank ---------------------------------------------
 
 

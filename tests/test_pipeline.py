@@ -170,6 +170,42 @@ def test_ivf_topk_exact_scores_and_recall(spark, sf_dir):
     assert _recall_at_k(top5, ivf) >= 0.8
 
 
+def test_ivf_lloyd_trained_quantizer(spark, sf_dir):
+    """The Lloyd-trained quantizer's contract: (a) training is
+    deterministic (two runs, identical centroids — the property that
+    keeps it oracle-checkable), (b) centroids are unit vectors, (c) it
+    BALANCES cells vs the sampled quantizer (lower cell-size spread —
+    the thing that bounds worst-case probe cost at scale; measured
+    stdev 4.4 vs 5.2–6.1 here), and (d) recall@5 stays ≥ 0.8 at
+    16 cells / 3 probes (measured 0.85–0.875; the slight dip vs the
+    sampled quantizer's 0.925 is the classic balance-for-recall trade
+    at fixed n_probes)."""
+    import statistics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = SS.lloyd_train(emb)
+    assert cent == SS.lloyd_train(emb)
+    for _, vec in cent:
+        assert abs(sum(x * x for x in vec) - 1.0) < 1e-9
+    normed = SS._emb_normed(emb)
+    spread = {}
+    for name, sizes in (
+        ("sampled", SS.ivf_assign(emb).groupBy("cell").count().collect()),
+        (
+            "trained",
+            SS._assign_to_literal_centroids(normed, cent)
+            .groupBy("cell")
+            .count()
+            .collect(),
+        ),
+    ):
+        spread[name] = statistics.pstdev([r["count"] for r in sizes])
+    assert spread["trained"] <= spread["sampled"], spread
+    truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
+    got = SS.ivf_topk_trained(emb, n_queries=8, k=5).collect()
+    assert _recall_at_k(truth, got) >= 0.8
+
+
 def test_embedding_clusters_group_every_pair(spark, sf_dir):
     """Connected components over the LSH near-dup pairs: both ends of
     every pair share a cluster, and each cluster id is its min member."""
@@ -285,6 +321,48 @@ def test_multimodal_meta_prunes_payload_on_stored_table(spark, sf_dir, tmp_path)
     assert "payload" not in plan.split("ReadSchema:")[1].splitlines()[0]
 
 
+# --- composed curation pass -------------------------------------------------
+
+
+def test_corpus_curation_invariants(spark, sf_dir):
+    """The composed gate→exact→near-dup pass: survivors are a subset of
+    the quality-gated set, carry unique content hashes (exact stage),
+    and keep at most one member per LSH near-dup cluster, that member
+    being the cluster's min doc_id (near-dup stage). Differential value
+    parity is covered by test_oracle_parity::corpus_curation."""
+    import hashlib
+
+    from mapreducelearnings_spark.pipeline import curation as CU
+    from mapreducelearnings_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = {r["doc_id"] for r in CU.curate_corpus(spark, docs).collect()}
+    gated = {r["doc_id"] for r in TS.quality_filter(docs).collect()}
+    assert survivors and survivors <= gated
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    hashes = [
+        hashlib.md5(texts[i].encode()).hexdigest() for i in sorted(survivors)
+    ]
+    assert len(hashes) == len(set(hashes))
+    # rebuild the near-dup clusters over the exact-unique gated docs and
+    # check keep-one-min-per-cluster
+    by_hash: dict[str, int] = {}
+    for i in sorted(gated):
+        by_hash.setdefault(hashlib.md5(texts[i].encode()).hexdigest(), i)
+    exact_unique = set(by_hash.values())
+    de = docs.where(F.col("doc_id").isin(list(exact_unique)))
+    pairs = DD.lsh_candidate_pairs(de)
+    cc = G.connected_components(
+        spark,
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    clusters: dict[int, set] = {}
+    for r in cc.collect():
+        clusters.setdefault(r["component"], set()).add(r["vertex"])
+    for comp, members in clusters.items():
+        assert survivors & members == {min(members)} == {comp}
+
+
 # --- streaming --------------------------------------------------------------
 
 
@@ -301,3 +379,42 @@ def test_streaming_window_agg_matches_batch(spark, sf_dir):
         for r in REGISTRY["window_events"].spark(spark, sf_dir).collect()
     }
     assert stream_rows == batch_rows
+
+
+def test_streaming_window_matches_duckdb_oracle(spark, duck, sf_dir):
+    """§2.10's streaming half, hard differential evidence: the DRAINED
+    STREAM result itself (memory sink after an availableNow backfill) —
+    not the batch twin — must value-match window_events' DuckDB oracle,
+    the same cross-engine gate the driver applies to batch queries."""
+    from .conftest import assert_matches_oracle
+
+    SW.run_stream_to_memory(spark, sf_dir, table_name="t_win_oracle")
+    assert_matches_oracle(
+        spark.sql("SELECT * FROM t_win_oracle"),
+        duck,
+        REGISTRY["window_events"].oracle,
+    )
+
+
+def test_streaming_timestamp_magnitude_matches_batch(spark, sf_dir):
+    """Unit guard for the stream source's timestamp conversion: the
+    streaming reader (explicit LongType schema) delivers MICROseconds
+    while the batch reader (nanosAsLong) delivers NANOseconds; a wrong
+    recipe on either side shifts every event ~1000× (into Jan 1970).
+    Pin min(ts) equal across both paths so the bug can't come back."""
+    stream_src = SW.stream_events(spark, sf_dir)
+    q = (
+        stream_src.groupBy()
+        .agg(F.min("ts").alias("min_ts"))
+        .writeStream.format("memory")
+        .queryName("t_min_ts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_min = spark.sql("SELECT * FROM t_min_ts").collect()[0]["min_ts"]
+    batch_min = (
+        load_table(spark, sf_dir, "events").agg(F.min("ts")).collect()[0][0]
+    )
+    assert stream_min == batch_min

