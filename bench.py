@@ -30,6 +30,8 @@ HEADLINE = [
     "top_k",
     "union_reagg",
     "window_events",
+    "sliding_windows",
+    "top_events_per_user",
     "explode_tokens",
     # iterative / graph workloads (BASELINE.md bench set)
     "pagerank_idfilter",
@@ -59,6 +61,9 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_clusters_star",
     "corpus_curation",
+    "sequence_packing",
+    "inverted_index",
+    "bm25_topk",
     "distinct_users_per_type",
     "token_counts_bpe",
     "token_doc_frequency",
@@ -80,6 +85,7 @@ HEADLINE = [
     "ann_lsh_topk_multi",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
+    "ann_hamming_topk",
     "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
@@ -116,6 +122,9 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         "ann_ivf_topk": recall(SS.ivf_topk(emb, n_queries=8, k=5).collect()),
         "ann_ivf_trained_topk": recall(
             SS.ivf_topk_trained(emb, n_queries=8, k=5).collect()
+        ),
+        "ann_hamming_topk": recall(
+            SS.hamming_ann_topk(emb, n_queries=8, k=5).collect()
         ),
     }
 

@@ -99,6 +99,61 @@ def extract_features(multimodal: DataFrame, fake: bool = True) -> DataFrame:
     return multimodal.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+FRAME_BYTES = 64
+
+
+def sample_frames(
+    multimodal: DataFrame,
+    every: int = 4,
+    frame_bytes: int = FRAME_BYTES,
+    fake: bool = True,
+) -> DataFrame:
+    """Frame sampling for video-ish payloads: keep every ``every``-th
+    frame of each payload, exploding one row per kept frame — the
+    pre-processing step that turns a video corpus into an image corpus
+    for feature extraction. Real container demux needs ffmpeg/av (not
+    in this container) and is STUBBED behind ``fake``; ``fake=True``
+    treats the payload as raw concatenated ``frame_bytes``-sized frames,
+    which exercises the real scale plumbing: Arrow batches in, a
+    row-EXPANDING mapInPandas out (one input row → many frame rows), no
+    driver involvement, output partitioning inherited from the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "video frame demux requires ffmpeg/av; run with fake=True "
+                "for the fixed-size-window stand-in"
+            )
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(blob)
+                n = -(-len(blob) // frame_bytes) if blob else 0
+                for i in range(0, n, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(blob[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return multimodal.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def multimodal_meta(docs: DataFrame) -> DataFrame:
     """Metadata-only projection — the query pattern that must NOT read
     payload bytes at scale (struct-field pruning; asserted in tests)."""

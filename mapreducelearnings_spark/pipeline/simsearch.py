@@ -561,6 +561,110 @@ def ivf_topk_trained(
     )
 
 
+HAMMING_RERANK_MULT = 16
+
+
+def _sign_sig_cols(ne_col, dims: int = DIMS):
+    """64-bit sign signature packed as TWO 32-bit words (lo = dims 0–31,
+    hi = dims 32–63): bit i = [ne_i ≥ 0]. Two words instead of one
+    64-bit value keeps every partial sum positive — bit 63 of a BIGINT
+    is the sign bit, and building it by addition would overflow."""
+    def word(lo_bit: int, hi_bit: int):
+        acc = None
+        for i in range(lo_bit, hi_bit):
+            t = F.when(
+                ne_col.getItem(i) >= 0, F.lit(1 << (i - lo_bit))
+            ).otherwise(F.lit(0))
+            acc = t if acc is None else acc + t
+        return acc.cast("long")
+
+    return word(0, dims // 2), word(dims // 2, dims)
+
+
+def hamming_ann_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    rerank_mult: int = HAMMING_RERANK_MULT,
+) -> DataFrame:
+    """Binary-signature ANN: 64-bit sign signatures (16 bytes/vector —
+    64× smaller than the raw float64 vectors, 16× smaller than float32
+    storage) are scanned with XOR+popcount Hamming distance to pre-rank
+    candidates, then only the per-query top ``k·rerank_mult`` are
+    exactly re-scored with the full-precision cosine. Sign-bit Hamming
+    approximates angular distance (each agreeing bit is one hyperplane
+    — the coordinate plane — both vectors fall on the same side of), so
+    the pre-rank is the 1-bit-per-dim limit of quantization:
+    cheaper-but-coarser than the int8 scan, with the same
+    compose-with-IVF/LSH pruning story.
+
+    Scale shape: the signature scan is linear, integer-only and reads
+    16 bytes/row; the Hamming pre-rank carries IDS ONLY through the
+    top-R window; exact scoring touches R = k·rerank_mult rows per
+    query. Deterministic both engines (ties broken by neighbor_id at
+    both ranks), hence fully oracle-checked despite being approximate.
+
+    Measured recall@5 on this wide-angle corpus (R = 80): 0.8 at a
+    500-vector corpus, 0.575 at 2 000 — R is an ABSOLUTE budget, so on
+    corpora whose true neighbors sit at wide angles (1 bit/dim blurs
+    them) recall decays as the corpus outgrows R; scale R with log-ish
+    corpus growth or compose the signature scan with IVF cell pruning
+    (signatures within probed cells) to keep the reranked fraction
+    meaningful. Reported in bench next to every other ANN path."""
+    emb = _emb_normed(embeddings)
+    lo, hi = _sign_sig_cols(F.col("ne"))
+    sig = emb.select("vec_id", lo.alias("slo"), hi.alias("shi"))
+    qs = sig.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("slo").alias("qlo"),
+        F.col("shi").alias("qhi"),
+    )
+    ham = (
+        sig.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(F.col("slo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("shi").bitwiseXOR(F.col("qhi")))
+            ).cast("long").alias("ham"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("ham"), F.asc("neighbor_id")
+    )
+    cand = (
+        ham.withColumn("hr", F.row_number().over(wh))
+        .where(F.col("hr") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"))
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qemb"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95
 ) -> DataFrame:

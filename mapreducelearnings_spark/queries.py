@@ -493,6 +493,77 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sliding_windows",
+    """
+    WITH offs(o) AS (VALUES (0), (300))
+    SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - o AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+    doc="SLIDING 10-minute windows every 5 minutes (each event lands in "
+    "exactly window/slide = 2 overlapping windows). Spark's F.window "
+    "with a slide duration expands rows map-side before ONE partial-agg "
+    "shuffle — same cost shape as the tumbling twin times the overlap "
+    "factor; the identical expression runs under Structured Streaming. "
+    "Oracle replicates each event against a VALUES offset table.",
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, value, rank
+    FROM (SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id ASC) AS rank
+          FROM events)
+    WHERE rank <= 3
+    """,
+    doc="Per-GROUP top-k (top-3 events by value per user, unique-key "
+    "tiebreak): ONE hash shuffle on the group key + sort within "
+    "partitions + rank filter — the grouped complement of the global "
+    "top_k's TakeOrderedAndProject. At 100 TB the sort is per-group "
+    "within partitions (never a global sort), and AQE handles skewed "
+    "users; for tiny k over huge groups a max_by/slice aggregation can "
+    "bound state further.",
+)
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 3)
+    )
+
+
 # ===========================================================================
 # §2.8 Iterative / graph algorithms — oracles are the same computation
 # unrolled into ANSI SQL (chain generation via range(), PageRank as 10
@@ -734,6 +805,8 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from .pipeline import curation as CU  # noqa: E402
+from .pipeline import packing as PK  # noqa: E402
+from .pipeline import retrieval as RV  # noqa: E402
 from .pipeline import dedup as DD  # noqa: E402
 from .pipeline import multimodal as MM  # noqa: E402
 from .pipeline import simsearch as SS  # noqa: E402
@@ -1265,6 +1338,70 @@ def _ivf_trained_oracle(
 )
 def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk_trained(load_table(spark, sf_dir, "embeddings"))
+
+
+def _hamming_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    rerank_mult: int = SS.HAMMING_RERANK_MULT,
+    dims: int = SS.DIMS,
+) -> str:
+    """SQL mirror of SS.hamming_ann_topk: sign-bit signatures as two
+    32-bit words, XOR+popcount pre-rank, exact rerank of the top
+    k·rerank_mult."""
+    half = dims // 2
+    slo = " + ".join(
+        f"(CASE WHEN ne[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(half)
+    )
+    shi = " + ".join(
+        f"(CASE WHEN ne[{half + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(half)
+    )
+    return f"""
+    WITH {_EMB_CTE},
+    sig AS (SELECT vec_id, CAST({slo} AS BIGINT) AS slo,
+            CAST({shi} AS BIGINT) AS shi FROM e),
+    qs AS (SELECT vec_id AS query_id, slo AS qlo, shi AS qhi
+           FROM sig WHERE vec_id < {n_queries}),
+    ham AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+            bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi)) AS hd
+            FROM sig s CROSS JOIN qs q WHERE s.vec_id <> q.query_id),
+    cand AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY hd ASC, neighbor_id ASC) AS hr FROM ham)
+             WHERE hr <= {k * rerank_mult}),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+               ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
+               FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
+               JOIN e q ON c.query_id = q.vec_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_hamming_topk",
+    _hamming_oracle(),
+    doc="Binary-signature ANN: 64-bit sign signatures (two 32-bit "
+    "words; 64× smaller than the float64 vectors) scanned with "
+    "XOR+popcount Hamming pre-rank, then exact cosine rerank of the "
+    "per-query top 80. The 1-bit-per-dim limit of the quantized-scan "
+    "family (int8 scan = 8-bit sibling): integer-only linear scan over "
+    "16 bytes/row, ids-only through the pre-rank window, exact math "
+    "only on k·rerank_mult rows per query. Deterministic tiebreaks at "
+    "both ranks keep the approximate result fully oracle-checked; "
+    "recall@5 (0.575 at the sf0.1 corpus — the fixed rerank budget's "
+    "honest cost on wide-angle neighbors; see the function docstring "
+    "for the scaling rule) reported in bench next to the other paths.",
+)
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.hamming_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -1826,6 +1963,91 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.curate_corpus(spark, load_table(spark, sf_dir, "documents"))
 
 
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in RV.DEFAULT_QUERY)
+
+
+@register(
+    "inverted_index",
+    f"""
+    WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM
+                (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+                GROUP BY doc_id, token)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY token
+    """,
+    doc="Inverted index (token → document-frequency + sorted posting "
+    "list): explode → two partial-agg groupBys, the same shuffle "
+    "profile as the MinHash signature build. Postings serialized "
+    "doc:tf,doc:tf (the engine's array-compare convention); in "
+    "production the column is array<struct> written bucketed by token "
+    "so term lookups prune to one bucket.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RV.inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH q(term) AS (VALUES {_BM25_TERMS_SQL}),
+    lens AS (SELECT doc_id, len({_TOKS}) AS len_d FROM documents),
+    consts AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(CAST(len_d AS DOUBLE)) AS avg_len FROM lens),
+    tf AS (SELECT t.doc_id, t.token, COUNT(*) AS tf FROM
+           (SELECT doc_id, unnest({_TOKS}) AS token FROM documents) t
+           JOIN q ON t.token = q.term GROUP BY t.doc_id, t.token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    scored AS (SELECT tf.doc_id,
+               LN((c.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({RV.BM25_K1} + 1))
+               / (tf.tf + {RV.BM25_K1} * (1.0 - {RV.BM25_B}
+                  + {RV.BM25_B} * l.len_d / c.avg_len)) AS term_score
+               FROM tf JOIN df ON tf.token = df.token
+               JOIN lens l ON tf.doc_id = l.doc_id
+               CROSS JOIN consts c),
+    agg AS (SELECT doc_id, ROUND(SUM(term_score), 6) AS bm25
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, ROUND(bm25, 4) AS bm25
+    FROM agg ORDER BY bm25 DESC, doc_id ASC LIMIT {RV.BM25_TOP_N}
+    """,
+    doc="BM25 top-10 for a fixed bag of query terms — keyword retrieval, "
+    "the text complement to the embedding ANN family. The explode is "
+    "pruned to the query terms BEFORE the shuffle; df is a tiny "
+    "broadcast; N/avg_len ride a broadcast 1-row aggregate; the final "
+    "top-N is TakeOrderedAndProject. Scores rounded 6 dp before ranking "
+    "so ordering is reproducible cross-engine.",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return RV.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH tok AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+          FROM tok WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR((cum - n_tokens) / {PK.PACK_BUDGET}) AS BIGINT) AS chunk_first,
+           CAST(FLOOR((cum - 1) / {PK.PACK_BUDGET}) AS BIGINT) AS chunk_last
+    FROM c
+    """,
+    doc="Sequence packing (concat-then-chunk): each document's token "
+    "span in the concatenated corpus stream and the 512-token training "
+    "chunks it lands in. The global prefix sum — which a naive "
+    "unpartitioned window would plan as a SINGLE-PARTITION sort owning "
+    "the whole corpus — runs as the distributed two-phase pattern: "
+    "range-sharded local window sums + an n_shards-row driver prefix "
+    "rejoined as broadcast offsets (pipeline/packing.py). Oracle uses "
+    "the plain global window, valid at oracle scale.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PK.pack_sequences(spark, load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "distinct_users_per_type",
     """
@@ -2220,29 +2442,33 @@ def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union of CORRECTNESS_r01..r03 already gives every registry name ≥1
 # green driver row, so rotation now REFRESHES stale evidence rather than
 # filling gaps. In for r04: (a) the entries new/renamed this round with
-# no driver row under their current name (dedup_clusters_star,
-# ann_ivf_trained_topk, ann_lsh_topk_single_baseline), and (b) the 16
-# tail entries whose last driver row is r02 — two rounds of commits ago.
-# Out: 19 thrice-green (r01+r02+r03) relational/graph entries whose code
-# is untouched since r02 (grouped_* family, join family, sssp/pagerank/
-# triangle/kmeans cores, dedup_exact, simhash) — each retains 3
-# historical driver rows plus the full local oracle suite every round.
+# no driver row under their current name (corpus_curation,
+# dedup_clusters_star, ann_ivf_trained_topk, ann_lsh_topk_single_baseline,
+# sliding_windows, top_events_per_user), and (b) the 16 tail entries
+# whose last driver row is r02 — two rounds of commits ago.
+# Out: 22 thrice-green (r01+r02+r03) entries whose code is untouched
+# since r02 (grouped_* family, join family, sssp/pagerank/triangle/
+# kmeans cores, dedup_exact, simhash, follower_count, window_events,
+# udf_discounted_price) — each retains 3 historical driver rows plus the
+# full local oracle suite every round.
 _CORRECTNESS_WINDOW = [
-    "corpus_curation", "pricing_summary", "follower_sum", "max_filter",
+    "corpus_curation", "follower_sum", "max_filter",
     "distinct_pairs", "right_outer_join", "explode_tokens",
     "salted_follower_count", "triangle_count_broadcast",
     "triangle_count_capped", "pagerank_topk", "kmeans_followers",
     "dedup_ngram_jaccard", "token_counts_bpe", "token_doc_frequency",
     "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type", "window_events",
-    "pagerank_df_quirk",
+    "distinct_users_per_type", "sliding_windows",
+    "top_events_per_user", "pagerank_df_quirk",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_star",
-    "text_stats", "lang_id", "doc_fingerprints", "similarity_topk",
+    "text_stats", "lang_id", "doc_fingerprints",
+    "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
-    "ann_ivf_trained_topk", "dedup_embedding_cosine", "multimodal_meta",
-    "udf_discounted_price", "udaf_weighted_avg", "session_windows",
+    "ann_ivf_trained_topk", "ann_hamming_topk",
+    "dedup_embedding_cosine", "multimodal_meta",
+    "sequence_packing", "session_windows",
     "asof_latest_order", "events_props_json", "pagerank_general",
-    "sales_rollup", "sales_cube", "quantity_percentiles", "set_except",
+    "sales_rollup", "quantity_percentiles", "set_except",
     "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
     "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
     "similarity_topk_q8",
@@ -2252,7 +2478,9 @@ _CORRECTNESS_WINDOW = [
 # since r02; every one is still oracle-checked locally at sf0.001 by
 # tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py):
 _TAIL = [
-    "follower_count",
+    "follower_count", "window_events", "udf_discounted_price",
+    "udaf_weighted_avg", "pricing_summary", "similarity_topk",
+    "sales_cube",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",

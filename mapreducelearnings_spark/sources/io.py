@@ -53,6 +53,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other splittable columnar format with
+    predicate/projection pushdown; first-class in Spark, so supporting
+    it is the same reader surface as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def from_rows(
     spark: SparkSession, rows: list, schema: T.StructType | str
 ) -> DataFrame:

@@ -96,6 +96,51 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet — the ingest shape
+    of a crawl feed. No watermark: the consumers below are stateless."""
+    return (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def run_quality_gate_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "gated_docs"
+) -> None:
+    """The curation pipeline's first stage run AT INGEST: the exact same
+    :func:`..pipeline.textstats.quality_filter` expression tree (pure
+    stateless codegen — quality ∧ length ∧ language in one pass) applied
+    to the document stream in append mode. Stateless operators need no
+    watermark and no state store, so gating a 100 TB/day crawl stream
+    costs the same CPU as the batch scan, row-for-row — and everything
+    downstream (dedup, embedding) sees only survivors."""
+    from ..pipeline import textstats as TS
+
+    gated = TS.quality_filter(stream_documents(spark, sf_dir))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Streaming exact dedup — the ingest-time twin of the batch
     ``dedup_exact`` pipeline: ``dropDuplicatesWithinWatermark`` keeps

@@ -51,6 +51,14 @@ def test_top_k_avoids_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_bm25_topk_avoids_global_sort(spark, sf_dir):
+    """BM25 top-N must plan as TakeOrderedAndProject (bounded per-task
+    heaps), with the term filter applied before the tf shuffle."""
+    plan = plan_of(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
 def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     # under AQE the final (executed) plan is the one that shows codegen spans
     df = REGISTRY["pricing_summary"].spark(spark, sf_dir)

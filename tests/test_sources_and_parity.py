@@ -62,6 +62,28 @@ def test_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert IO.read_parquet(spark, path).count() == docs.count()
 
 
+def test_orc_roundtrip_pushes_filters(spark, sf_dir, tmp_path):
+    """ORC sink/scan roundtrip with the same pushdown contract as
+    parquet: values survive and a filtered read shows PushedFilters at
+    the scan."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    IO.write_orc(orders, path)
+    back = IO.read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    q = back.where(F.col("o_orderkey") <= 100).select("o_orderkey")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(o_orderkey,100)" in plan
+
+
 def test_bucketed_join_eliminates_exchange(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must sort-merge join with NO
     Exchange — the durable co-partitioning that replaces the reference's

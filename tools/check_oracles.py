@@ -62,9 +62,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, skipped = [], []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -106,8 +108,9 @@ def main() -> int:
         print(f"ok    {name}  rows={len(srows)}  ({dt:.1f}s)")
 
     print(
-        f"\n{len(qs) - len(failures) - len(skipped)} ok, "
-        f"{len(failures)} failed, {len(skipped)} rows-only of {len(qs)}"
+        f"\n{checked - len(failures) - len(skipped)} ok, "
+        f"{len(failures)} failed, {len(skipped)} rows-only "
+        f"of {checked} checked ({len(qs)} registered)"
     )
     return 1 if failures else 0
 
