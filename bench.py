@@ -64,6 +64,8 @@ HEADLINE = [
     "sequence_packing",
     "inverted_index",
     "bm25_topk",
+    "stratified_sample",
+    "decontamination",
     "distinct_users_per_type",
     "token_counts_bpe",
     "token_doc_frequency",
@@ -86,6 +88,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_hamming_topk",
+    "ann_pq_adc_topk",
     "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
@@ -125,6 +128,9 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_hamming_topk": recall(
             SS.hamming_ann_topk(emb, n_queries=8, k=5).collect()
+        ),
+        "ann_pq_adc_topk": recall(
+            SS.pq_adc_topk(emb, n_queries=8, k=5).collect()
         ),
     }
 

@@ -1,0 +1,97 @@
+"""Corpus sampling & decontamination (SURVEY.md §2.11 — NEW layer):
+the two remaining curation levers a training-data pipeline applies after
+dedup — re-weighting the language/domain MIX, and removing documents
+that leak evaluation benchmarks.
+
+Both are deterministic by construction (md5-derived decisions, identical
+in DuckDB), so despite being "sampling" they are fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+
+# Per-stratum keep rates (language mixing weights). Missing strata keep
+# nothing — an explicit allowlist, the safe default for a training mix.
+SAMPLE_RATES: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "fr": 0.5,
+    "es": 0.25,
+    "zh": 0.25,
+}
+SAMPLE_MOD = 10_000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsample: keep a row iff
+    md5(id) mod 10000 < rate[stratum]·10000. One codegen scan, zero
+    shuffles, no RNG — the same document is kept or dropped on every
+    run and on every engine, which is what makes the training mix
+    reproducible (and the oracle checkable). At 100 TB this runs as a
+    filter fused into the ingest scan; changing the mix is a constant
+    change, not a new shuffle."""
+    rates = rates if rates is not None else SAMPLE_RATES
+    u = X.md5_long(F.col(id_col).cast("string")) % SAMPLE_MOD
+    thr = F.lit(0)
+    for k, r in rates.items():
+        thr = F.when(F.col(key_col) == k, F.lit(int(r * SAMPLE_MOD))).otherwise(
+            thr
+        )
+    return docs.select(
+        id_col, key_col, "source", u.alias("u")
+    ).where(F.col("u") < thr)
+
+
+# Decontamination: flag corpus documents sharing any long word-shingle
+# with the benchmark set. 8-gram shingles — long enough that accidental
+# collision is negligible, the standard eval-leak heuristic.
+DECON_N = 8
+DECON_BENCH_MAX_ID = 20
+DECON_THRESHOLD = 1
+
+
+def contamination_flags(
+    docs: DataFrame,
+    n: int = DECON_N,
+    bench_max_id: int = DECON_BENCH_MAX_ID,
+    threshold: int = DECON_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_overlap, contaminated) for every non-benchmark doc:
+    n_overlap = distinct ``n``-gram shingles shared with the benchmark
+    set (here: doc_id < ``bench_max_id`` stands in for the eval suite).
+
+    Scale shape: the benchmark shingle set is SMALL (eval suites are
+    thousands of docs) → broadcast; the corpus side is one explode at
+    scan speed; the probe is a broadcast hash join followed by one
+    groupBy on doc_id. The corpus is never self-joined."""
+    toks = docs.select("doc_id", X.tokens(text_col).alias("ts"))
+    sh = toks.select(
+        "doc_id", F.explode(X.word_shingles(F.col("ts"), n)).alias("sh_n")
+    )
+    bench = (
+        sh.where(F.col("doc_id") < bench_max_id).select("sh_n").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= bench_max_id)
+    hits = (
+        corpus.join(F.broadcast(bench), "sh_n")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh_n").alias("n_overlap"))
+    )
+    base = docs.where(F.col("doc_id") >= bench_max_id).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= threshold).alias(
+            "contaminated"
+        ),
+    )

@@ -807,6 +807,7 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .pipeline import curation as CU  # noqa: E402
 from .pipeline import packing as PK  # noqa: E402
 from .pipeline import retrieval as RV  # noqa: E402
+from .pipeline import sampling as SA  # noqa: E402
 from .pipeline import dedup as DD  # noqa: E402
 from .pipeline import multimodal as MM  # noqa: E402
 from .pipeline import simsearch as SS  # noqa: E402
@@ -1404,6 +1405,79 @@ def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.hamming_ann_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def _pq_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    rerank_mult: int = SS.PQ_RERANK_MULT,
+    m: int = SS.PQ_M,
+    dsub: int = SS.PQ_DSUB,
+    kq: int = SS.PQ_K,
+) -> str:
+    """SQL mirror of SS.pq_adc_topk: codebooks re-derived from the same
+    deterministic sample, encoding argmin on the identical
+    dot-expansion of d², ADC sum rounded 6 dp, exact rerank."""
+    return f"""
+    WITH {_EMB_CTE},
+    mr AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, {m})),
+    cb AS (SELECT mr.m, vec_id AS code,
+           ne[1 + mr.m * {dsub} : {dsub} + mr.m * {dsub}] AS ce
+           FROM e CROSS JOIN mr WHERE vec_id < {kq}),
+    subs AS (SELECT vec_id, mr.m,
+             ne[1 + mr.m * {dsub} : {dsub} + mr.m * {dsub}] AS sub
+             FROM e CROSS JOIN mr),
+    enc AS (SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                     (list_dot_product(s.sub, s.sub)
+                      - 2 * list_dot_product(s.sub, c.ce)
+                      + list_dot_product(c.ce, c.ce)) ASC,
+                     c.code ASC) AS rn
+            FROM subs s JOIN cb c ON s.m = c.m) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ne AS qe FROM e
+          WHERE vec_id < {n_queries}),
+    part AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
+             list_dot_product(
+               q.qe[1 + enc.m * {dsub} : {dsub} + enc.m * {dsub}], c.ce) AS ps
+             FROM enc JOIN cb c ON enc.m = c.m AND enc.code = c.code
+             CROSS JOIN q WHERE enc.vec_id <> q.query_id),
+    approx AS (SELECT query_id, neighbor_id, ROUND(SUM(ps), 6) AS adc
+               FROM part GROUP BY query_id, neighbor_id),
+    cand AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc DESC, neighbor_id ASC) AS ar
+              FROM approx) WHERE ar <= {k * rerank_mult}),
+    scored AS (SELECT ca.query_id, ca.neighbor_id,
+               ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
+               FROM cand ca JOIN e n ON ca.neighbor_id = n.vec_id
+               JOIN e q ON ca.query_id = q.vec_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    _pq_oracle(),
+    doc="Product-quantization ANN with asymmetric distance computation: "
+    "corpus stored as 32-bit PQ codes (8 subspaces × 16 codes — 16× "
+    "smaller than float32), queries full-precision; ADC score "
+    "Σ_m ⟨q_m, codebook_m[code]⟩ pre-ranks, exact cosine reranks the "
+    "per-query top 80 (recall@5 0.825 at sf0.1 vs sign-Hamming's 0.575 "
+    "at the same rerank budget — the codebook adapts to the corpus). Codebooks are the deterministic sample (128 "
+    "broadcast rows; Lloyd refinement plugs in per subspace), encoding "
+    "is a partial-agg argmin on a bit-portable dot-expansion of d². "
+    "Completes the compressed-scan family: int8 (8 b/dim) / PQ-ADC "
+    "(0.5 b/dim) / sign-Hamming (1 b/dim).",
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "dedup_embedding_clusters",
     f"""
@@ -1963,6 +2037,71 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.curate_corpus(spark, load_table(spark, sf_dir, "documents"))
 
 
+_RATES_SQL = " ".join(
+    f"WHEN lang = '{k}' THEN {int(r * SA.SAMPLE_MOD)}"
+    for k, r in SA.SAMPLE_RATES.items()
+)
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS UBIGINT) % {SA.SAMPLE_MOD} AS BIGINT) AS u
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+          AS UBIGINT) % {SA.SAMPLE_MOD}
+          < (CASE {_RATES_SQL} ELSE 0 END)
+    """,
+    doc="Deterministic stratified downsample (language-mix re-weighting "
+    "for a training corpus): keep iff md5(doc_id) mod 10000 < "
+    "rate[lang]*10000. One codegen scan, zero shuffles, no RNG — the "
+    "mix is reproducible run-over-run and engine-over-engine, so this "
+    "'sampling' op is fully oracle-checked. Missing strata keep "
+    "nothing (explicit allowlist).",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _shingle_concat_sql(n: int) -> str:
+    return " || ' ' || ".join(f"ts[i+{j}]" if j else "ts[i]" for j in range(n))
+
+
+@register(
+    "decontamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, GREATEST(len(ts) - {SA.DECON_N - 2}, 1)),
+                  i -> {_shingle_concat_sql(SA.DECON_N)})) AS sh_n
+           FROM toks),
+    bench AS (SELECT DISTINCT sh_n FROM sh
+              WHERE doc_id < {SA.DECON_BENCH_MAX_ID}),
+    hits AS (SELECT s.doc_id, COUNT(DISTINCT s.sh_n) AS n_overlap
+             FROM sh s JOIN bench b ON s.sh_n = b.sh_n
+             WHERE s.doc_id >= {SA.DECON_BENCH_MAX_ID}
+             GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(h.n_overlap, 0) >= {SA.DECON_THRESHOLD} AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id >= {SA.DECON_BENCH_MAX_ID}
+    """,
+    doc="Eval-benchmark decontamination: flag corpus documents sharing "
+    "any distinct 8-gram word shingle with the benchmark set (doc_id < "
+    "20 stands in for the eval suite). Benchmark shingles broadcast "
+    "(eval suites are small), corpus side one explode at scan speed, "
+    "probe via broadcast hash join + one groupBy — the corpus is never "
+    "self-joined. The keep/drop complement of the dedup family: dedup "
+    "removes what the corpus repeats, decontamination removes what the "
+    "EVAL set contains.",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.contamination_flags(load_table(spark, sf_dir, "documents"))
+
+
 _BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in RV.DEFAULT_QUERY)
 
 
@@ -2464,11 +2603,12 @@ _CORRECTNESS_WINDOW = [
     "text_stats", "lang_id", "doc_fingerprints",
     "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
-    "ann_ivf_trained_topk", "ann_hamming_topk",
+    "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "dedup_embedding_cosine", "multimodal_meta",
     "sequence_packing", "session_windows",
-    "asof_latest_order", "events_props_json", "pagerank_general",
-    "sales_rollup", "quantity_percentiles", "set_except",
+    "pagerank_general",
+    "stratified_sample", "decontamination",
+    "quantity_percentiles", "set_except",
     "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
     "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
     "similarity_topk_q8",
@@ -2480,7 +2620,8 @@ _CORRECTNESS_WINDOW = [
 _TAIL = [
     "follower_count", "window_events", "udf_discounted_price",
     "udaf_weighted_avg", "pricing_summary", "similarity_topk",
-    "sales_cube",
+    "sales_cube", "events_props_json", "sales_rollup",
+    "asof_latest_order",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
