@@ -1,3 +1,21 @@
-from . import dedup, multimodal, simsearch, textstats
+from . import (
+    curation,
+    dedup,
+    multimodal,
+    packing,
+    retrieval,
+    sampling,
+    simsearch,
+    textstats,
+)
 
-__all__ = ["dedup", "multimodal", "simsearch", "textstats"]
+__all__ = [
+    "curation",
+    "dedup",
+    "multimodal",
+    "packing",
+    "retrieval",
+    "sampling",
+    "simsearch",
+    "textstats",
+]

@@ -42,6 +42,48 @@ def test_triangle_plans_agree_on_random_graphs(spark, edges):
 
 
 @settings(max_examples=6, deadline=None)
+@given(edges=edge_lists)
+def test_star_cc_agrees_with_union_find_on_random_graphs(spark, edges):
+    """Property form of the star-vs-union-find agreement: on arbitrary
+    multigraphs (self-loops, duplicates, both directions) every
+    star_rounds depth yields the identical labeling."""
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    base = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components(spark, df).collect()
+    }
+    star = {
+        r["vertex"]: r["component"]
+        for r in G.connected_components_star(spark, df, star_rounds=2).collect()
+    }
+    assert star == base
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    shards=st.integers(1, 8),
+)
+def test_two_phase_prefix_sum_matches_sequential(spark, counts, shards):
+    """The distributed two-phase prefix sum equals the sequential
+    cumulative sum for any value list and shard count (including
+    n_shards > n_rows and zero values)."""
+    from mapreducelearnings_spark.pipeline import packing as PK
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long")
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in PK._global_prefix_sum(spark, df, n_shards=shards).collect()
+    }
+    acc, want = 0, {}
+    for i, c in enumerate(counts):
+        acc += c
+        want[i] = acc
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
 @given(
     rights=st.lists(
         st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 99)),
