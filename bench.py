@@ -55,6 +55,8 @@ HEADLINE = [
     # SQL surface + composite join plans + reference k-means pipeline
     "sql_revenue_by_nation",
     "shipping_priority",
+    "top_supplier",
+    "pivot_event_counts",
     "kmeans_followers",
     # dedup clustering (Python union-find vs pure-JVM star contraction —
     # same oracle; bench shows which contraction wins at this SF)
@@ -89,6 +91,7 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "ann_hamming_topk",
     "ann_pq_adc_topk",
+    "ann_ivf_hamming_topk",
     "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
@@ -131,6 +134,9 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_pq_adc_topk": recall(
             SS.pq_adc_topk(emb, n_queries=8, k=5).collect()
+        ),
+        "ann_ivf_hamming_topk": recall(
+            SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()
         ),
     }
 

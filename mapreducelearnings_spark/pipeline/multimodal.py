@@ -154,6 +154,50 @@ def sample_frames(
     return multimodal.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+THUMB_BYTES = 32
+
+
+def resize_images(
+    multimodal: DataFrame, thumb_bytes: int = THUMB_BYTES, fake: bool = True
+) -> DataFrame:
+    """Image resize/thumbnail stage. Real resize needs PIL/cv2 (not in
+    this container) and is STUBBED behind ``fake``; ``fake=True``
+    produces a deterministic fixed-size stand-in (payload truncated /
+    zero-padded to ``thumb_bytes``) so the Spark-side plumbing is real:
+    Arrow batches through mapInPandas, 1→1 rows, output schema carries
+    the thumb alongside refreshed metadata, partitioning inherited. The
+    shape every per-item media transform (resize, re-encode, crop)
+    shares at 100 TB — payload-linear, shuffle-free."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires PIL/cv2; run with fake=True for "
+                "the truncate/pad stand-in"
+            )
+        for pdf in batches:
+            thumbs = [
+                bytes(b)[:thumb_bytes].ljust(thumb_bytes, b"\0")
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "n_bytes": [len(t) for t in thumbs],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return multimodal.mapInPandas(run, schema=schema)
+
+
 def multimodal_meta(docs: DataFrame) -> DataFrame:
     """Metadata-only projection — the query pattern that must NOT read
     payload bytes at scale (struct-field pruning; asserted in tests)."""

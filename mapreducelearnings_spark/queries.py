@@ -493,6 +493,105 @@ def q_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+               f" AS {t}" for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+    doc="PIVOT: per-user event counts spread into one column per event "
+    "type. The pivot values are an EXPLICIT list — with them Spark "
+    "plans a single pass (each cell a conditional partial aggregate, "
+    "one shuffle on the group key); without them it must first run a "
+    "distinct scan to discover the domain, an extra job a 100 TB "
+    "pipeline shouldn't pay for a known vocabulary. Oracle is the "
+    "portable CASE-WHEN spread.",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+
+
+@register(
+    "unpivot_event_counts",
+    f"""
+    WITH p AS (SELECT user_id,
+               {", ".join(
+                   f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+                   f" AS {t}" for t in _EVENT_TYPES
+               )}
+               FROM events GROUP BY user_id)
+    SELECT user_id, event_type, cnt FROM p
+    UNPIVOT (cnt FOR event_type IN ({", ".join(_EVENT_TYPES)}))
+    """,
+    doc="UNPIVOT/melt: the wide per-type count columns folded back to "
+    "(user_id, event_type, cnt) rows — Spark's unpivot()/melt is a "
+    "zero-shuffle map-side expand (each input row emits one row per "
+    "value column). Round-trips the pivot above minus the zero cells "
+    "(UNPIVOT drops NULLs on both engines; zeros are kept since the "
+    "pivot coalesced them).",
+)
+def q_unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot_event_counts(spark, sf_dir)
+    return wide.unpivot(
+        ["user_id"], _EVENT_TYPES, "event_type", "cnt"
+    ).select("user_id", "event_type", F.col("cnt").cast("long").alias("cnt"))
+
+
+@register(
+    "top_supplier",
+    """
+    WITH rev AS (SELECT l_suppkey AS suppkey,
+                 ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+                 FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc="Scalar-subquery surface (TPC-H Q15 shape): supplier(s) whose "
+    "revenue equals the corpus max. Catalyst plans the subquery as a "
+    "1-row broadcast (ReusedExchange over the same rev aggregate), so "
+    "the pattern costs one aggregation + one broadcast compare — no "
+    "second scan of lineitem and never a driver-side collect in the "
+    "query path. Revenue rounded 2 dp on both sides before the "
+    "equality so summation-order ulps can't split the max.",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        sup.join(rev, sup.s_suppkey == rev.suppkey)
+        .join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
 @register(
     "sliding_windows",
     """
@@ -1403,6 +1502,86 @@ def _hamming_oracle(
 )
 def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.hamming_ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sign_words_sql(col: str, dims: int = SS.DIMS) -> tuple[str, str]:
+    """The two 32-bit sign-signature words of a list column, as SQL."""
+    half = dims // 2
+    slo = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(half)
+    )
+    shi = " + ".join(
+        f"(CASE WHEN {col}[{half + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(half)
+    )
+    return slo, shi
+
+
+def _ivf_hamming_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    rerank_mult: int = SS.HAMMING_RERANK_MULT,
+) -> str:
+    """SQL mirror of SS.ivf_hamming_topk: IVF cell assignment + probe
+    (identical to the ann_ivf_topk oracle) composed with the sign-bit
+    Hamming pre-rank restricted to probed cells, then exact rerank."""
+    clo, chi = _sign_words_sql("ne")
+    qlo, qhi = _sign_words_sql("qemb")
+    return f"""
+    WITH {_EMB_CTE},
+    cent AS (SELECT vec_id AS cid, ne AS ce FROM e WHERE vec_id < {SS.IVF_CELLS}),
+    ac AS (SELECT e.vec_id, e.ne, cent.cid,
+           list_dot_product(e.ne, cent.ce) AS cs
+           FROM e CROSS JOIN cent),
+    cells AS (SELECT vec_id, ne, cid AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cs DESC, cid ASC) AS rn FROM ac)
+              WHERE rn = 1),
+    sig AS (SELECT vec_id, cell, CAST({clo} AS BIGINT) AS slo,
+            CAST({chi} AS BIGINT) AS shi FROM cells),
+    qprobe AS (SELECT vec_id AS query_id, ne AS qemb, cid AS cell FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid ASC) AS rn
+                FROM ac WHERE vec_id < {n_queries})
+               WHERE rn <= {SS.IVF_PROBES}),
+    qsig AS (SELECT query_id, cell, CAST({qlo} AS BIGINT) AS qlo,
+             CAST({qhi} AS BIGINT) AS qhi FROM qprobe),
+    ham AS (SELECT q.query_id, s.vec_id AS neighbor_id,
+            bit_count(xor(s.slo, q.qlo)) + bit_count(xor(s.shi, q.qhi)) AS hd
+            FROM sig s JOIN qsig q ON s.cell = q.cell
+            WHERE s.vec_id <> q.query_id),
+    cand AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY hd ASC, neighbor_id ASC) AS hr FROM ham)
+             WHERE hr <= {k * rerank_mult}),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+               ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
+               FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
+               JOIN e q ON c.query_id = q.vec_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_ivf_hamming_topk",
+    _ivf_hamming_oracle(),
+    doc="IVF × compressed-scan COMPOSITION — the production read path "
+    "the quantized scans promise: prune to the query's 3 nearest IVF "
+    "cells (read 3/16 of a cell-bucketed corpus), Hamming-pre-rank the "
+    "survivors on 16-byte sign signatures, exactly re-score only the "
+    "per-query top 80. Same rerank budget as the flat Hamming scan but "
+    "concentrated on plausible cells — higher recall at equal R, a "
+    "fraction of the bytes read.",
+)
+def q_ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.ivf_hamming_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def _pq_oracle(
@@ -2604,11 +2783,10 @@ _CORRECTNESS_WINDOW = [
     "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
+    "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "multimodal_meta",
-    "sequence_packing", "session_windows",
-    "pagerank_general",
-    "stratified_sample", "decontamination",
-    "quantity_percentiles", "set_except",
+    "sequence_packing", "pivot_event_counts", "unpivot_event_counts",
+    "stratified_sample", "decontamination", "top_supplier",
     "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
     "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
     "similarity_topk_q8",
@@ -2621,7 +2799,8 @@ _TAIL = [
     "follower_count", "window_events", "udf_discounted_price",
     "udaf_weighted_avg", "pricing_summary", "similarity_topk",
     "sales_cube", "events_props_json", "sales_rollup",
-    "asof_latest_order",
+    "asof_latest_order", "session_windows", "quantity_percentiles",
+    "set_except", "pagerank_general",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
