@@ -92,6 +92,7 @@ HEADLINE = [
     "ann_hamming_topk",
     "ann_pq_adc_topk",
     "ann_ivf_hamming_topk",
+    "ann_pq_trained_topk",
     "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
@@ -137,6 +138,11 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_ivf_hamming_topk": recall(
             SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()
+        ),
+        "ann_pq_trained_topk": recall(
+            SS.pq_adc_topk(
+                emb, n_queries=8, k=5, trained_rounds=SS.PQ_LLOYD_ROUNDS
+            ).collect()
         ),
     }
 

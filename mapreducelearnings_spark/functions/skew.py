@@ -32,3 +32,34 @@ def salted_sum(df: DataFrame, key: str, value: str, n_salts: int = 16) -> DataFr
     salted = df.withColumn("_salt", (F.rand(seed=42) * n_salts).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_ps"))
     return partial.groupBy(key).agg(F.sum("_ps").alias("val_sum"))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skewed shuffle JOIN via two-sided salting — the manual fallback
+    when AQE's skew-join can't apply (e.g., the skewed side feeds a
+    non-splittable operator, or the planner lands on a broadcast the
+    dim side is too big for): the fact side gets a random salt in
+    [0, n_salts), the dim side is REPLICATED once per salt value, and
+    the join key becomes (key, salt) — a hot fact key now spreads over
+    ``n_salts`` tasks instead of funneling through one.
+
+    Cost model: dim-side rows × n_salts extra shuffle volume buys
+    fact-side parallelism on the hot keys; size n_salts to the skew
+    factor, not higher. Result is EXACTLY the plain join (salts match
+    by construction); only the shuffle distribution changes."""
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+    )
+    cond = (salted_fact[fact_key] == replicated_dim[dim_key]) & (
+        salted_fact["_salt"] == replicated_dim["_salt"]
+    )
+    return salted_fact.join(replicated_dim, cond).drop("_salt")

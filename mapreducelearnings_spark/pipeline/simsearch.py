@@ -696,13 +696,10 @@ def pq_codebooks(embeddings: DataFrame) -> DataFrame:
     return spark.createDataFrame(data, "m long, code long, ce array<double>")
 
 
-def pq_encode(emb_normed: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, m, code): each vector's nearest codebook entry per
-    subspace, d² expressed as dot(s,s) − 2·dot(s,c) + dot(c,c) — only
-    list_dot_product-equivalent folds, so the value is bit-identical to
-    the SQL oracle (ties → smallest code). Partial max_by aggregation
-    shrinks the 16-candidate product before the shuffle."""
-    subs = emb_normed.select(
+def _pq_subvectors(emb_normed: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): every vector exploded into its PQ_M subspace
+    slices — map-side expand, no shuffle."""
+    return emb_normed.select(
         "vec_id",
         F.explode(
             F.array(
@@ -718,6 +715,15 @@ def pq_encode(emb_normed: DataFrame, cb: DataFrame) -> DataFrame:
             )
         ).alias("ms"),
     ).select("vec_id", F.col("ms.m").alias("m"), F.col("ms.sub").alias("sub"))
+
+
+def pq_encode(emb_normed: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): each vector's nearest codebook entry per
+    subspace, d² expressed as dot(s,s) − 2·dot(s,c) + dot(c,c) — only
+    list_dot_product-equivalent folds, so the value is bit-identical to
+    the SQL oracle (ties → smallest code). Partial max_by aggregation
+    shrinks the 16-candidate product before the shuffle."""
+    subs = _pq_subvectors(emb_normed)
     j = subs.join(F.broadcast(cb), "m")
     d2 = (
         V.dot(F.col("sub"), F.col("sub"))
@@ -736,11 +742,47 @@ def pq_encode(emb_normed: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+PQ_LLOYD_ROUNDS = 1
+
+
+def pq_train(embeddings: DataFrame, rounds: int = PQ_LLOYD_ROUNDS) -> DataFrame:
+    """Lloyd-trained PQ codebooks: init = the deterministic sample
+    (:func:`pq_codebooks`), then ``rounds`` iterations of per-subspace
+    assign → component-wise mean. Means are ROUNDed to 9 dp — the one
+    order-dependent float reduction — so both engines derive
+    bit-identical codebooks (the lloyd_train convention). Codes whose
+    cell empties drop out identically on both engines. Everything is
+    relational: assignment is the same partial-agg argmin as encoding,
+    the mean is one 128-row groupBy per round — training cost is
+    rounds × one corpus scan; at 100 TB train on a bounded sample and
+    encode the full corpus once at ingest."""
+    emb = _emb_normed(embeddings)
+    subs = _pq_subvectors(emb)
+    cb = pq_codebooks(embeddings)
+    for _ in range(rounds):
+        enc = pq_encode(emb, cb)
+        cb = (
+            enc.join(subs, ["vec_id", "m"])
+            .groupBy("m", "code")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.col("sub").getItem(j)), 9)
+                        for j in range(PQ_DSUB)
+                    ]
+                ).alias("ce")
+            )
+            .select("m", "code", "ce")
+        )
+    return cb
+
+
 def pq_adc_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     rerank_mult: int = PQ_RERANK_MULT,
+    trained_rounds: int = 0,
 ) -> DataFrame:
     """Product-quantization ANN with Asymmetric Distance Computation:
     the corpus is stored as 32-bit PQ codes (8 subspaces × 4 bits —
@@ -760,9 +802,14 @@ def pq_adc_topk(
     column, which this relational form's broadcast join approximates.
     ADC sums are rounded 6 dp before ranking (the engine's standard
     accumulation-noise kill), so the approximate result is fully
-    oracle-checked."""
+    oracle-checked. ``trained_rounds`` > 0 swaps in the Lloyd-trained
+    codebooks (:func:`pq_train`) with identical plumbing downstream."""
     emb = _emb_normed(embeddings)
-    cb = pq_codebooks(embeddings)
+    cb = (
+        pq_train(embeddings, trained_rounds)
+        if trained_rounds
+        else pq_codebooks(embeddings)
+    )
     ec = pq_encode(emb, cb)
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")

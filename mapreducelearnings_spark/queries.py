@@ -593,6 +593,27 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join",
+    """
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="Skewed shuffle join via two-sided salting — the manual "
+    "fallback when AQE skew-join can't apply: fact rows get a random "
+    "salt, the dim side replicates once per salt, and the join key "
+    "becomes (key, salt), spreading a hot key over 16 tasks. The "
+    "result is EXACTLY the plain join (oracle is the unsalted SQL); "
+    "only the shuffle distribution changes — which is the point.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return SK.salted_join(
+        orders, customer, "o_custkey", "c_custkey"
+    ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@register(
     "sliding_windows",
     """
     WITH offs(o) AS (VALUES (0), (300))
@@ -1655,6 +1676,104 @@ def _pq_oracle(
 )
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_trained_oracle(
+    n_queries: int = 8,
+    k: int = 5,
+    rerank_mult: int = SS.PQ_RERANK_MULT,
+    m: int = SS.PQ_M,
+    dsub: int = SS.PQ_DSUB,
+    kq: int = SS.PQ_K,
+    rounds: int = SS.PQ_LLOYD_ROUNDS,
+) -> str:
+    """SQL mirror of SS.pq_adc_topk(trained_rounds=rounds): the
+    per-subspace Lloyd rounds are UNROLLED (assign → 9-dp-rounded
+    component-wise mean), so DuckDB re-derives the trained codebooks
+    from the data — the same convention as the trained-IVF oracle."""
+    d2 = (
+        "(list_dot_product(s.sub, s.sub) - 2 * list_dot_product(s.sub, c.ce)"
+        " + list_dot_product(c.ce, c.ce))"
+    )
+    avgs = ", ".join(f"ROUND(AVG(sub[{j + 1}]), 9)" for j in range(dsub))
+    ctes = [
+        f"mr AS (SELECT CAST(range AS BIGINT) AS m FROM range(0, {m}))",
+        f"cb0 AS (SELECT mr.m, vec_id AS code, "
+        f"ne[1 + mr.m * {dsub} : {dsub} + mr.m * {dsub}] AS ce "
+        f"FROM e CROSS JOIN mr WHERE vec_id < {kq})",
+        f"subs AS (SELECT vec_id, mr.m, "
+        f"ne[1 + mr.m * {dsub} : {dsub} + mr.m * {dsub}] AS sub "
+        f"FROM e CROSS JOIN mr)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"a{r} AS (SELECT vec_id, m, code, sub FROM ("
+            f"SELECT s.vec_id, s.m, c.code, s.sub, "
+            f"ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m "
+            f"ORDER BY {d2} ASC, c.code ASC) AS rn "
+            f"FROM subs s JOIN cb{r} c ON s.m = c.m) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"cb{r + 1} AS (SELECT m, code, [{avgs}] AS ce "
+            f"FROM a{r} GROUP BY m, code)"
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EMB_CTE},
+    {body},
+    enc AS (SELECT vec_id, m, code FROM (
+            SELECT s.vec_id, s.m, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY {d2} ASC, c.code ASC) AS rn
+            FROM subs s JOIN cb{rounds} c ON s.m = c.m) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, ne AS qe FROM e
+          WHERE vec_id < {n_queries}),
+    part AS (SELECT q.query_id, enc.vec_id AS neighbor_id,
+             list_dot_product(
+               q.qe[1 + enc.m * {dsub} : {dsub} + enc.m * {dsub}], c.ce) AS ps
+             FROM enc JOIN cb{rounds} c ON enc.m = c.m AND enc.code = c.code
+             CROSS JOIN q WHERE enc.vec_id <> q.query_id),
+    approx AS (SELECT query_id, neighbor_id, ROUND(SUM(ps), 6) AS adc
+               FROM part GROUP BY query_id, neighbor_id),
+    cand AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adc DESC, neighbor_id ASC) AS ar
+              FROM approx) WHERE ar <= {k * rerank_mult}),
+    scored AS (SELECT ca.query_id, ca.neighbor_id,
+               ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
+               FROM cand ca JOIN e n ON ca.neighbor_id = n.vec_id
+               JOIN e q ON ca.query_id = q.vec_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_pq_trained_topk",
+    _pq_trained_oracle(),
+    doc="PQ-ADC over LLOYD-TRAINED codebooks: one per-subspace k-means "
+    "round (assign → 9-dp-rounded component mean) refines the sampled "
+    "init before the same encode/ADC/rerank plumbing as "
+    "ann_pq_adc_topk — the PQ twin of ann_ivf_trained_topk. Training "
+    "is one 128-row groupBy per round; the oracle unrolls the "
+    "identical rounds in SQL so the trained result is fully "
+    "value-checked. Measured honestly: recall@5 0.75 at sf0.1 vs the "
+    "sampled codebook's 0.825 — L2-Lloyd optimizes reconstruction "
+    "error, not inner-product ranking (the classic MIPS-vs-L2 "
+    "mismatch on unit vectors: means shrink entry norms and ADC "
+    "underestimates), so at a fixed rerank budget the sampled "
+    "codebook can rank better; both are reported in bench.",
+)
+def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        trained_rounds=SS.PQ_LLOYD_ROUNDS,
+    )
 
 
 @register(
@@ -2759,16 +2878,21 @@ def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-4 rotation rationale (evidence-freshness, per ADVICE r03): the
 # union of CORRECTNESS_r01..r03 already gives every registry name ≥1
 # green driver row, so rotation now REFRESHES stale evidence rather than
-# filling gaps. In for r04: (a) the entries new/renamed this round with
-# no driver row under their current name (corpus_curation,
+# filling gaps. In for r04: (a) every entry new/renamed this round, which
+# has no driver row under its current name (corpus_curation,
 # dedup_clusters_star, ann_ivf_trained_topk, ann_lsh_topk_single_baseline,
-# sliding_windows, top_events_per_user), and (b) the 16 tail entries
-# whose last driver row is r02 — two rounds of commits ago.
-# Out: 22 thrice-green (r01+r02+r03) entries whose code is untouched
+# sliding_windows, top_events_per_user, sequence_packing, inverted_index,
+# bm25_topk, stratified_sample, decontamination, top_supplier,
+# pivot/unpivot, salted_join, ann_hamming/pq_adc/pq_trained/ivf_hamming),
+# and (b) the 16 r03-tail entries whose last driver row is r02 — two
+# rounds of commits ago. Out: multi-green entries whose code is untouched
 # since r02 (grouped_* family, join family, sssp/pagerank/triangle/
-# kmeans cores, dedup_exact, simhash, follower_count, window_events,
-# udf_discounted_price) — each retains 3 historical driver rows plus the
-# full local oracle suite every round.
+# kmeans cores, dedup_exact/minhash, simhash, follower_count,
+# window_events, UDF pair, pricing_summary, similarity_topk, sales
+# rollup/cube, events_props_json, asof, session_windows, percentiles,
+# set_except, pagerank_general, doc_fingerprints) — each retains its
+# historical driver rows, the full local oracle suite every round, AND
+# this round's sf0.1 exact re-check (COVERAGE.md "Scale evidence").
 _CORRECTNESS_WINDOW = [
     "corpus_curation", "follower_sum", "max_filter",
     "distinct_pairs", "right_outer_join", "explode_tokens",
@@ -2778,15 +2902,16 @@ _CORRECTNESS_WINDOW = [
     "sql_revenue_by_nation", "shipping_priority",
     "distinct_users_per_type", "sliding_windows",
     "top_events_per_user", "pagerank_df_quirk",
-    "dedup_minhash_lsh", "dedup_clusters", "dedup_clusters_star",
-    "text_stats", "lang_id", "doc_fingerprints",
+    "dedup_clusters", "dedup_clusters_star",
+    "text_stats", "lang_id",
     "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
-    "ann_ivf_hamming_topk",
+    "ann_ivf_hamming_topk", "ann_pq_trained_topk",
     "dedup_embedding_cosine", "multimodal_meta",
     "sequence_packing", "pivot_event_counts", "unpivot_event_counts",
     "stratified_sample", "decontamination", "top_supplier",
+    "salted_join",
     "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
     "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
     "similarity_topk_q8",
@@ -2800,7 +2925,8 @@ _TAIL = [
     "udaf_weighted_avg", "pricing_summary", "similarity_topk",
     "sales_cube", "events_props_json", "sales_rollup",
     "asof_latest_order", "session_windows", "quantity_percentiles",
-    "set_except", "pagerank_general",
+    "set_except", "pagerank_general", "dedup_minhash_lsh",
+    "doc_fingerprints",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
