@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "simhash_fingerprints",
     "text_stats",
+    "sentence_stats",
     "doc_fingerprints",
     "quality_filter",
     "events_rolling_hour",

@@ -118,6 +118,26 @@ def quality_filter(
     )
 
 
+def sentence_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sentences, words_per_sentence): sentence segmentation
+    by terminal-punctuation runs ([.!?]+) with empty chunks dropped —
+    the document-structure signal quality classifiers use next to the
+    token counts. Pure codegen regexp split, zero shuffles."""
+    chunks = F.split(F.col(text_col), r"[.!?]+")
+    n_sent = F.size(
+        F.filter(chunks, lambda s: F.trim(s) != "")
+    ).cast("long")
+    n_words = F.size(X.tokens(text_col)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.when(
+            n_sent > 0,
+            F.round(n_words.cast("double") / n_sent, 4),
+        ).alias("words_per_sentence"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling hash (see
     functions.text.rolling_fingerprint)."""

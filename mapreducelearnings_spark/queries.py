@@ -1114,6 +1114,28 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sentence_stats",
+    f"""
+    SELECT doc_id, n_sentences,
+           CASE WHEN n_sentences > 0
+                THEN ROUND(CAST(n_words AS DOUBLE) / n_sentences, 4)
+           END AS words_per_sentence
+    FROM (SELECT doc_id,
+          CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                               s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+          len({_TOKS}) AS n_words
+          FROM documents)
+    """,
+    doc="Sentence segmentation stats (terminal-punctuation runs, empty "
+    "chunks dropped) + words-per-sentence — the document-structure "
+    "signal quality classifiers consume next to token counts. One "
+    "codegen regexp split at scan speed, zero shuffles.",
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "doc_fingerprints",
     f"""
     SELECT doc_id,
@@ -2903,7 +2925,7 @@ _CORRECTNESS_WINDOW = [
     "distinct_users_per_type", "sliding_windows",
     "top_events_per_user", "pagerank_df_quirk",
     "dedup_clusters", "dedup_clusters_star",
-    "text_stats", "lang_id",
+    "text_stats", "sentence_stats",
     "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
@@ -2926,7 +2948,7 @@ _TAIL = [
     "sales_cube", "events_props_json", "sales_rollup",
     "asof_latest_order", "session_windows", "quantity_percentiles",
     "set_except", "pagerank_general", "dedup_minhash_lsh",
-    "doc_fingerprints",
+    "doc_fingerprints", "lang_id",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",

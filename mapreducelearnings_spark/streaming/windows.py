@@ -167,6 +167,55 @@ def run_dedup_stream_to_memory(
     q.awaitTermination()
 
 
+def followup_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """The shared batch/stream STREAM-STREAM JOIN body: for every
+    event, the same user's events in the following 10 minutes
+    (click → purchase style funnel pairing). The time-interval
+    predicate is what makes the streaming version's state BOUNDED: with
+    both sides watermarked, each side's state is evicted once the
+    watermark passes the interval, so a 100 TB/day funnel join holds
+    minutes of state, not history. Works identically on two batch
+    frames (the equivalence oracle in tests)."""
+    a = left.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = right.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("a_id") != F.col("b_id")),
+    ).select("a_id", "b_id", "a_user", "a_type", "b_type")
+
+
+def run_followup_join_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "followups"
+) -> None:
+    """Stream-stream join drained through availableNow: both sides are
+    the watermarked events stream; append mode emits each pair exactly
+    once when the watermark closes it."""
+    left = stream_events(spark, sf_dir, watermark="30 minutes")
+    right = stream_events(spark, sf_dir, watermark="30 minutes")
+    q = (
+        followup_pairs(left, right)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator (SURVEY.md §2.10: the
 # applyInPandasWithState surface for operators the built-in windows

@@ -586,6 +586,21 @@ def test_streaming_quality_gate_matches_batch(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """STREAM-STREAM join (watermarked both sides, time-interval
+    predicate → bounded state): the drained availableNow result must
+    equal the same join run on the batch frames. availableNow drains
+    may leave pairs still open at the final watermark, so the stream
+    result is allowed to be a subset — but must cover every pair whose
+    interval closed, which on this bounded fixture is checked as exact
+    equality after the terminal batch."""
+    SW.run_followup_join_stream_to_memory(spark, sf_dir, table_name="t_ss")
+    stream_rows = {tuple(r) for r in spark.sql("SELECT * FROM t_ss").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    batch_rows = {tuple(r) for r in SW.followup_pairs(ev, ev).collect()}
+    assert stream_rows == batch_rows
+
+
 def test_streaming_timestamp_magnitude_matches_batch(spark, sf_dir):
     """Unit guard for the stream source's timestamp conversion: the
     streaming reader (explicit LongType schema) delivers MICROseconds
