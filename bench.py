@@ -75,6 +75,7 @@ HEADLINE = [
     # custom operators + format coverage
     "asof_latest_order",
     "events_props_json",
+    "window_function_gauntlet",
     # standard pagerank (+ DF-variant quirk twin) + rollup + percentiles
     "pagerank_general",
     "pagerank_df_quirk",

@@ -593,6 +593,52 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_function_gauntlet",
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(event_id) OVER w AS first_event,
+           CAST(rank() OVER (PARTITION BY user_id
+                             ORDER BY value DESC, event_id ASC) AS BIGINT) AS value_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS time_quartile,
+           ROUND(cume_dist() OVER (PARTITION BY user_id
+                                   ORDER BY value ASC, event_id ASC), 6) AS value_cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    doc="Analytic-function gauntlet: lag/lead/first_value over the "
+    "per-user time order plus rank/ntile/cume_dist over the value "
+    "order — the full window-function surface in ONE pass. Both "
+    "orderings share the user_id hash partitioning, so Catalyst plans "
+    "one exchange and sorts within partitions per ordering; every "
+    "ordering carries the unique event_id tiebreak so all six "
+    "functions are deterministic cross-engine.",
+)
+def q_window_function_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wv = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    wc = Window.partitionBy("user_id").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(wt).alias("prev_value"),
+        F.lead("value").over(wt).alias("next_value"),
+        F.first("event_id").over(wt).alias("first_event"),
+        F.rank().over(wv).cast("long").alias("value_rank"),
+        F.ntile(4).over(wt).cast("long").alias("time_quartile"),
+        F.round(F.cume_dist().over(wc), 6).alias("value_cume"),
+    )
+
+
+@register(
     "salted_join",
     """
     SELECT o_orderkey, o_custkey, c_name
@@ -2934,7 +2980,7 @@ _CORRECTNESS_WINDOW = [
     "sequence_packing", "pivot_event_counts", "unpivot_event_counts",
     "stratified_sample", "decontamination", "top_supplier",
     "salted_join",
-    "ann_ivf_topk", "dedup_embedding_clusters", "customer_running_totals",
+    "ann_ivf_topk", "dedup_embedding_clusters", "window_function_gauntlet",
     "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
     "similarity_topk_q8",
 ]
@@ -2948,7 +2994,7 @@ _TAIL = [
     "sales_cube", "events_props_json", "sales_rollup",
     "asof_latest_order", "session_windows", "quantity_percentiles",
     "set_except", "pagerank_general", "dedup_minhash_lsh",
-    "doc_fingerprints", "lang_id",
+    "doc_fingerprints", "lang_id", "customer_running_totals",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",

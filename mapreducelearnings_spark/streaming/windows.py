@@ -216,6 +216,64 @@ def run_followup_join_stream_to_memory(
     q.awaitTermination()
 
 
+def run_user_totals_upsert_stream(
+    spark: SparkSession, src_dir: str, out_path: str, checkpoint: str
+) -> None:
+    """foreachBatch KEYED UPSERT — the operational sink surface for
+    targets without a streaming connector: each microbatch's per-user
+    totals are merged into a keyed parquet table (read → merge →
+    rewrite; the merge result is materialized to the driver before the
+    overwrite because a path cannot be overwritten while being read —
+    fine for keyed-summary tables, which are small by construction; a
+    transactional table format's MERGE INTO replaces the rewrite at
+    scale). Replay-safe: foreachBatch may re-run a batch after failure,
+    so a _batch_ids audit column records which batches are already
+    merged and replays are skipped — the idempotence contract
+    foreachBatch requires of its sink logic."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        totals = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).withColumn("_batch_ids", F.array(F.lit(int(batch_id))))
+        try:
+            existing = spark.read.parquet(out_path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            already = existing.select(
+                F.explode("_batch_ids").alias("b")
+            ).where(F.col("b") == int(batch_id)).take(1)
+            if already:
+                return  # replayed batch: already merged, skip
+            merged = (
+                existing.unionByName(totals)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.round(F.sum("sum_value"), 4).alias("sum_value"),
+                    F.array_distinct(
+                        F.flatten(F.collect_list("_batch_ids"))
+                    ).alias("_batch_ids"),
+                )
+            )
+        else:
+            merged = totals
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+
+    q = (
+        stream_events(spark, src_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful streaming operator (SURVEY.md §2.10: the
 # applyInPandasWithState surface for operators the built-in windows

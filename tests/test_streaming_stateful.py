@@ -106,3 +106,44 @@ def test_checkpoint_recovery_processes_only_new_files(spark, sf_dir, tmp_path):
     drain()
     # e1 NOT reprocessed (would be 3x), e2 processed exactly once
     assert spark.read.parquet(out).count() == 2 * base
+
+
+def test_foreachbatch_upsert_totals_and_replay_safety(spark, sf_dir, tmp_path):
+    """foreachBatch keyed upsert: after draining, the keyed table holds
+    exactly the batch per-user totals; a second drain over an unchanged
+    source (fresh checkpoint, same batch content replayed as batch 0)
+    must be a no-op thanks to the _batch_ids idempotence guard."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    out = str(tmp_path / "totals")
+    SW.run_user_totals_upsert_stream(
+        spark, str(src), out, str(tmp_path / "ck1")
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
+    # replay: new checkpoint sees the same file as batch 0 again; the
+    # _batch_ids guard must skip the merge, leaving totals unchanged
+    SW.run_user_totals_upsert_stream(
+        spark, str(src), out, str(tmp_path / "ck2")
+    )
+    got2 = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == want
