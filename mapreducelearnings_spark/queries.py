@@ -1160,6 +1160,98 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "explode_variants",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS tok
+    FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i)
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS tok
+    FROM toks WHERE len(ts) = 0
+    """,
+    doc="Explode VARIANTS beyond the plain flatMap analogue: "
+    "posexplode keeps each element's ordinal (the order-preserving "
+    "explode a sequence consumer needs), and explode_outer emits a "
+    "NULL row for empty arrays instead of dropping the parent — the "
+    "left-join-shaped explode that keeps zero-token documents visible "
+    "to downstream counts. Both are map-side expands, no shuffle.",
+)
+def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("ts"))
+    return toks.select(
+        "doc_id", F.posexplode_outer("ts").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+@register(
+    "hof_gauntlet",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+    SELECT doc_id,
+           list_transform(ts, t -> upper(t)) AS upper_toks,
+           list_filter(ts, t -> len(t) > 3) AS long_toks,
+           len(list_filter(ts, t -> t = 'the')) > 0 AS has_the,
+           CAST(list_reduce(list_prepend(0, list_transform(ts, t -> len(t))),
+                            (a, b) -> a + b) AS BIGINT) AS total_chars,
+           list_sort(ts) AS sorted_toks
+    FROM toks
+    """,
+    doc="Higher-order-function surface in one pass: transform / filter "
+    "/ exists / aggregate(fold) / sort over the token array — the "
+    "array-programming layer every text operator here builds on, kept "
+    "JVM-side (no UDF) and mirrored by DuckDB's list_* family. The "
+    "fold seeds a 0 prepend so empty arrays reduce to 0 on both "
+    "engines.",
+)
+def q_hof_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("ts"))
+    return toks.select(
+        "doc_id",
+        F.transform("ts", lambda t: F.upper(t)).alias("upper_toks"),
+        F.filter("ts", lambda t: F.length(t) > 3).alias("long_toks"),
+        F.exists("ts", lambda t: t == "the").alias("has_the"),
+        F.aggregate(
+            "ts", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+        F.sort_array("ts").alias("sorted_toks"),
+    )
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    doc="Canonical text normalization (lowercase → strip non-alnum → "
+    "collapse whitespace → trim) — the cleaning pass that runs before "
+    "hashing/shingling so near-identical crawls dedup as exact "
+    "matches. Compared by md5 + length so the oracle never ships "
+    "full normalized bodies. Pure codegen regexp chain at scan speed.",
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@register(
     "sentence_stats",
     f"""
     SELECT doc_id, n_sentences,
@@ -2971,7 +3063,7 @@ _CORRECTNESS_WINDOW = [
     "distinct_users_per_type", "sliding_windows",
     "top_events_per_user", "pagerank_df_quirk",
     "dedup_clusters", "dedup_clusters_star",
-    "text_stats", "sentence_stats",
+    "sentence_stats", "text_normalize",
     "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
@@ -2981,8 +3073,8 @@ _CORRECTNESS_WINDOW = [
     "stratified_sample", "decontamination", "top_supplier",
     "salted_join",
     "ann_ivf_topk", "dedup_embedding_clusters", "window_function_gauntlet",
-    "anti_join", "set_intersect", "quality_filter", "events_rolling_hour",
-    "similarity_topk_q8",
+    "explode_variants", "hof_gauntlet", "quality_filter",
+    "events_rolling_hour", "similarity_topk_q8",
 ]
 
 # Rotated out this round (all thrice-green r01+r02+r03, code untouched
@@ -2995,6 +3087,7 @@ _TAIL = [
     "asof_latest_order", "session_windows", "quantity_percentiles",
     "set_except", "pagerank_general", "dedup_minhash_lsh",
     "doc_fingerprints", "lang_id", "customer_running_totals",
+    "text_stats", "anti_join", "set_intersect",
     "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
     "case_when", "scalar_gauntlet",
     "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
