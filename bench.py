@@ -196,18 +196,23 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "recall_at_5": _ann_recall_at_k(spark, sf_dir),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall_at_5": _ann_recall_at_k(spark, sf_dir),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+    # The driver tail-captures stdout; with 60+ queries the line's head
+    # can fall out of the buffer (BENCH_r04 recorded parsed: null). So
+    # ALSO persist the JSON to bench_out.json, and make the line the
+    # very last thing printed with nothing after it.
+    with open(os.path.join(os.path.dirname(__file__), "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

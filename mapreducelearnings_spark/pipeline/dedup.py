@@ -54,6 +54,70 @@ def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
+def band_signatures_rowwise(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, band, sig[, passthrough…]) — the SAME banded MinHash
+    signatures as :func:`lsh_candidate_pairs`'s groupBy path, computed
+    entirely PER ROW (array_min over a transform of the shingle array;
+    zero shuffles, zero state). Bit-identical to the shuffle path
+    because both use the one-md5-per-shingle universal hash family —
+    asserted by ``test_rowwise_band_signatures_match_groupby``.
+
+    This is the streaming-ingest form: a row's signatures depend on
+    nothing but the row, so the expression runs inside a streaming
+    micro-batch with no aggregation state at all — at 100 TB/day the
+    signature column is computed at ingest scan speed and only the
+    candidate join carries state. Docs with no shingles (< n tokens)
+    produce no rows, matching the explode-groupBy path."""
+    rows = num_hashes // bands
+    toks = docs.select(
+        "doc_id", *passthrough, X.tokens(text_col).alias("_toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        *passthrough,
+        F.transform(
+            X.word_shingles(F.col("_toks")),
+            lambda s: X.md5_long(s) % X.MINHASH_M,
+        ).alias("hs"),
+    ).where(F.size("hs") > 0)
+    mh = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda h: X.minhash_value(h, i))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.select("doc_id", *passthrough, *mh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", *passthrough, F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "doc_id",
+        *passthrough,
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float, text_col: str = "text", n: int = 3
 ) -> DataFrame:

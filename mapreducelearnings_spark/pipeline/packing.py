@@ -58,8 +58,16 @@ def _global_prefix_sum(
         return counts.withColumn("cum", F.lit(0).cast("long"))
     span = max(int(hi) - int(lo) + 1, 1)
     width = -(-span // n_shards)  # ceil
+    # Integral `div`, NOT float `/`: (x / width).cast('long') routes
+    # through a double, and for order-key spans beyond 2^53 the mantissa
+    # truncation can misassign boundary rows, silently corrupting the
+    # global prefix sum. Keys are non-negative after the lo shift, so
+    # truncating div == floor div here.
     sharded = counts.withColumn(
-        "_shard", ((F.col(order_col) - F.lit(int(lo))) / width).cast("long")
+        "_shard",
+        F.expr(
+            f"(cast({order_col} as bigint) - {int(lo)}L) div {width}L"
+        ).cast("long"),
     )
     w = Window.partitionBy("_shard").orderBy(order_col)
     local = sharded.withColumn("_local_cum", F.sum(value_col).over(w))

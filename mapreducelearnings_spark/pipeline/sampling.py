@@ -31,6 +31,7 @@ def stratified_sample(
     rates: dict[str, float] | None = None,
     key_col: str = "lang",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = ("source",),
 ) -> DataFrame:
     """Deterministic stratified downsample: keep a row iff
     md5(id) mod 10000 < rate[stratum]·10000. One codegen scan, zero
@@ -38,7 +39,9 @@ def stratified_sample(
     run and on every engine, which is what makes the training mix
     reproducible (and the oracle checkable). At 100 TB this runs as a
     filter fused into the ingest scan; changing the mix is a constant
-    change, not a new shuffle."""
+    change, not a new shuffle. ``extra_cols`` are passed through the
+    projection (default keeps ``source`` for the registered documents
+    query); pass ``()`` for frames that lack it."""
     rates = rates if rates is not None else SAMPLE_RATES
     u = X.md5_long(F.col(id_col).cast("string")) % SAMPLE_MOD
     thr = F.lit(0)
@@ -47,7 +50,7 @@ def stratified_sample(
             thr
         )
     return docs.select(
-        id_col, key_col, "source", u.alias("u")
+        id_col, key_col, *extra_cols, u.alias("u")
     ).where(F.col("u") < thr)
 
 

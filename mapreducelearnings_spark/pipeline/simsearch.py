@@ -442,6 +442,7 @@ def lloyd_train(
     n_cells: int = IVF_CELLS,
     rounds: int = IVF_LLOYD_ROUNDS,
     dims: int = DIMS,
+    sample_mod: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means (Lloyd) training of the IVF coarse quantizer:
     init = the deterministic sample (first ``n_cells`` vec_ids, the same
@@ -461,10 +462,20 @@ def lloyd_train(
     (zero-shuffle assignment) + one 16-row partial-agg groupBy + a
     k-row collect — the classic k-means control channel
     (operators/kmeans.py does the same in 1-D). Training cost is
-    rounds × one corpus scan; at 100 TB you train on a bounded sample
-    (pass a .where-sampled frame) and assign the full corpus once at
-    ingest."""
+    rounds × one scan of the TRAINING frame: with ``sample_mod=s`` the
+    Lloyd rounds run on the deterministic ``vec_id % s == 0`` slice
+    (1/s of the corpus; the production shape — at 100 TB you never
+    Lloyd the full corpus, you train on a bounded sample and assign
+    the full corpus once at ingest). ``sample_mod=None`` trains on
+    everything (the small-data exact twin). The init (first
+    ``n_cells`` vec_ids) is shared by both so trained/untrained stay
+    comparable."""
     emb = _emb_normed(embeddings)
+    train = (
+        emb
+        if sample_mod is None
+        else emb.where(F.col("vec_id") % sample_mod == 0)
+    )
     cent = [
         (int(r["vec_id"]), [float(x) for x in r["ne"]])
         for r in emb.where(F.col("vec_id") < n_cells)
@@ -472,23 +483,53 @@ def lloyd_train(
         .collect()
     ]
     cent.sort()
+    spark = embeddings.sparkSession
     for _ in range(rounds):
-        assigned = _assign_to_literal_centroids(emb, cent)
-        means = assigned.groupBy("cell").agg(
-            *[
-                F.round(F.avg(F.col("ne").getItem(i)), 9).alias(f"m{i}")
-                for i in range(dims)
-            ]
+        # Broadcast-join assignment, NOT _assign_to_literal_centroids:
+        # the literal form inlines n_cells x dims constants into one
+        # codegen expression, and at 16x64 the per-round analysis +
+        # compile cost dominated the whole trained-IVF query (measured
+        # ~7.6 s at sf0.1 with the scan nearly free). A 16-row broadcast
+        # + max_by argmax is the same zero-shuffle map-side work with a
+        # constant-size plan. Same float order, so bit-identical means.
+        cent_df = spark.createDataFrame(cent, "cid long, ce array<double>")
+        assigned = (
+            train.crossJoin(F.broadcast(cent_df))
+            .select(
+                "vec_id", "ne", "cid",
+                V.dot(F.col("ne"), F.col("ce")).alias("cs"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.col("cid"),
+                    F.struct(F.col("cs"), (-F.col("cid")).alias("nc")),
+                ).alias("cell"),
+                F.any_value(F.col("ne")).alias("ne"),
+            )
         )
-        sq = F.col("m0") * F.col("m0")
-        for i in range(1, dims):
-            sq = sq + F.col(f"m{i}") * F.col(f"m{i}")
-        normed = means.withColumn("_nrm", F.sqrt(sq)).select(
-            "cell",
-            *[(F.col(f"m{i}") / F.col("_nrm")).alias(f"c{i}") for i in range(dims)],
+        # ONE parsed SQL expression for the 9-dp means array and one for
+        # the re-normalization — building these as 64 individual Column
+        # objects cost ~1.5 s of py4j round-trips PER ROUND on the
+        # driver (measured), dwarfing the actual 500-row job. aggregate()
+        # sums squares left-assoc exactly like the old m0²+m1²+… chain,
+        # so the trained centroids stay bit-identical.
+        means_expr = (
+            "array(" + ",".join(f"round(avg(ne[{i}]), 9)" for i in range(dims)) + ")"
+        )
+        normed = (
+            assigned.groupBy("cell")
+            .agg(F.expr(means_expr).alias("m"))
+            .select(
+                "cell",
+                F.expr(
+                    "transform(m, x -> x / "
+                    "sqrt(aggregate(m, cast(0 as double), (a, b) -> a + b*b)))"
+                ).alias("c"),
+            )
         )
         cent = sorted(
-            (int(r["cell"]), [float(r[f"c{i}"]) for i in range(dims)])
+            (int(r["cell"]), [float(x) for x in r["c"]])
             for r in normed.collect()
         )
     return cent
@@ -501,6 +542,7 @@ def ivf_topk_trained(
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
     rounds: int = IVF_LLOYD_ROUNDS,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """IVF-Flat top-k over the LLOYD-TRAINED quantizer — closes the
     "a trained one plugs into the same plumbing" note on
@@ -508,8 +550,10 @@ def ivf_topk_trained(
     centroids trained by :func:`lloyd_train` instead of sampled.
     Training balances cell populations, which is what bounds the
     worst-case probe cost at scale (a sampled quantizer inherits the
-    corpus's density skew; Lloyd iterates it away)."""
-    cent_rows = lloyd_train(embeddings, n_cells, rounds)
+    corpus's density skew; Lloyd iterates it away). ``sample_mod``
+    bounds training cost by Lloyd-ing only the ``vec_id % s == 0``
+    slice — the registered production shape."""
+    cent_rows = lloyd_train(embeddings, n_cells, rounds, sample_mod=sample_mod)
     spark = embeddings.sparkSession
     cent = spark.createDataFrame(
         cent_rows, "cid long, ce array<double>"

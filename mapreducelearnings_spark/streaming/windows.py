@@ -61,17 +61,21 @@ def windowed_counts(events: DataFrame, window: str = "10 minutes") -> DataFrame:
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, watermark: str = "30 minutes"
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "30 minutes",
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over the events parquet with event-time
     watermarking. Late rows beyond the watermark are dropped; state for
     closed windows is evicted — the property that keeps a 100 TB/day
-    stream's state bounded."""
+    stream's state bounded. ``glob`` widens the watched set (e.g.
+    ``*.parquet`` for an ingest dir that accretes files)."""
     # file stream sources take a directory; glob-filter to the events file
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     # ts is long MICROseconds on the streaming path (see EVENTS_RAW_SCHEMA
@@ -216,58 +220,199 @@ def run_followup_join_stream_to_memory(
     q.awaitTermination()
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    engine-native way to test existence and rename atomically, instead
+    of catching read exceptions (a bare except here once turned any
+    transient read failure into "table is empty" + destructive
+    overwrite)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def read_user_totals(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read surface for the upsert table: rounds ``sum_value`` to 4 dp
+    ON READ and hides the audit column. The stored table keeps
+    full-precision doubles — rounding per merge would compound
+    (round-of-rounded-partial-sums drifts from round(total) across many
+    microbatches), so presentation rounding happens exactly once,
+    here."""
+    return spark.read.parquet(out_path).select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def run_user_totals_upsert_stream(
-    spark: SparkSession, src_dir: str, out_path: str, checkpoint: str
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    glob: str = "events.parquet",
 ) -> None:
     """foreachBatch KEYED UPSERT — the operational sink surface for
     targets without a streaming connector: each microbatch's per-user
-    totals are merged into a keyed parquet table (read → merge →
-    rewrite; the merge result is materialized to the driver before the
-    overwrite because a path cannot be overwritten while being read —
-    fine for keyed-summary tables, which are small by construction; a
-    transactional table format's MERGE INTO replaces the rewrite at
-    scale). Replay-safe: foreachBatch may re-run a batch after failure,
-    so a _batch_ids audit column records which batches are already
-    merged and replays are skipped — the idempotence contract
-    foreachBatch requires of its sink logic."""
+    totals are merged into a keyed parquet table via read-current →
+    merge → write-new-snapshot → ATOMIC RENAME SWAP. Nothing transits
+    the driver: the merged frame is written fully distributed to a
+    sibling snapshot dir, then two metadata-only renames (current →
+    trash, new → current) publish it — the read and the write never
+    touch the same path, and the keyed state never transits the driver
+    (at 100 TB of users a driver collect was the one bottleneck in
+    this layer; a transactional table format's MERGE INTO is the same
+    shape with the swap hidden).
+
+    Replay-safe: foreachBatch may re-run a batch after failure, so a
+    ``_max_batch_id`` audit column records the highest merged batch
+    (availableNow batch ids are monotonic, so one long replaces the
+    unbounded per-key ``_batch_ids`` array this used to carry) and
+    replayed batches are skipped — the idempotence contract foreachBatch
+    requires of its sink logic. Sums are stored FULL-PRECISION and
+    rounded only by :func:`read_user_totals`, so multi-batch rounding
+    can't drift. A failed read of an existing table ABORTS the batch
+    (checkpoint will replay it) instead of being treated as empty."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         totals = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        ).withColumn("_batch_ids", F.array(F.lit(int(batch_id))))
-        try:
+            F.sum("value").alias("sum_value"),
+        ).withColumn("_max_batch_id", F.lit(int(batch_id)).cast("long"))
+        fs, cur = _hadoop_fs(spark, out_path)
+        jvm = spark._jvm
+        new_path = f"{out_path}.__new_{int(batch_id)}"
+        new_p = jvm.org.apache.hadoop.fs.Path(new_path)
+        old_p = jvm.org.apache.hadoop.fs.Path(f"{out_path}.__old")
+        # Crash recovery: a failure between the two publish renames
+        # leaves current missing and the pre-merge snapshot at __old;
+        # restore it so the replayed batch merges against real state
+        # instead of an empty table.
+        if not fs.exists(cur) and fs.exists(old_p):
+            fs.rename(old_p, cur)
+        if fs.exists(cur):
+            # Existence is checked explicitly; any OTHER failure below
+            # (corrupt footer, transient FS error) propagates and aborts
+            # the batch rather than silently truncating the table.
             existing = spark.read.parquet(out_path)
-        except Exception:
-            existing = None
-        if existing is not None:
-            already = existing.select(
-                F.explode("_batch_ids").alias("b")
-            ).where(F.col("b") == int(batch_id)).take(1)
-            if already:
+            merged_max = existing.agg(
+                F.max("_max_batch_id").alias("m")
+            ).first()["m"]
+            if merged_max is not None and int(merged_max) >= int(batch_id):
                 return  # replayed batch: already merged, skip
             merged = (
                 existing.unionByName(totals)
                 .groupBy("user_id")
                 .agg(
                     F.sum("n_events").alias("n_events"),
-                    F.round(F.sum("sum_value"), 4).alias("sum_value"),
-                    F.array_distinct(
-                        F.flatten(F.collect_list("_batch_ids"))
-                    ).alias("_batch_ids"),
+                    F.sum("sum_value").alias("sum_value"),
+                    F.max("_max_batch_id").alias("_max_batch_id"),
                 )
             )
         else:
             merged = totals
-        rows = merged.collect()
-        spark.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(out_path)
+        fs.delete(new_p, True)
+        merged.write.mode("overwrite").parquet(new_path)
+        fs.delete(old_p, True)
+        if fs.exists(cur):
+            fs.rename(cur, old_p)
+        fs.rename(new_p, cur)
+        fs.delete(old_p, True)
 
     q = (
-        stream_events(spark, src_dir)
+        stream_events(spark, src_dir, glob=glob)
         .writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup: ingest-time banded-LSH candidate stream — the
+# streaming twin of pipeline.dedup.lsh_candidate_pairs, closing the gap
+# between the batch curation pipeline and the streaming surface.
+# ---------------------------------------------------------------------------
+
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    src_dir: str,
+    watermark: str = "1 hour",
+    glob: str = "documents.parquet",
+) -> DataFrame:
+    """File-source stream over the documents parquet. The table carries
+    no event time, so ingest time is derived DETERMINISTICALLY from
+    doc_id (epoch + doc_id mod 600 s — a 10-minute arrival spread):
+    the stream≡batch/oracle contracts need every run to see identical
+    event times, which wall-clock ingest time would break. A real
+    crawl feed would carry its own fetch timestamp here."""
+    raw = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", glob)
+        .load(src_dir)
+    )
+    docs = raw.withColumn(
+        "ts",
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 600),
+    )
+    return docs.withWatermark("ts", watermark)
+
+
+def streaming_lsh_candidates(docs: DataFrame) -> DataFrame:
+    """Banded-LSH near-dup CANDIDATE STREAM: per-row MinHash band
+    signatures (``dedup.band_signatures_rowwise`` — zero aggregation
+    state, computed at ingest scan speed) feed a watermark-bounded
+    stream-stream self-join on (band, sig); a pair is emitted when two
+    docs share any band signature within the join window. Cross-band
+    duplicate pairs are dropped in-stream by
+    ``dropDuplicatesWithinWatermark`` — its state, like the join's, is
+    evicted as the watermark passes, so an unbounded ingest stream
+    holds only the active window's signatures (the property that makes
+    ingest-time near-dup viable at 100 TB/day; the batch twin dedups
+    the full corpus, this dedups the arrival window)."""
+    from ..pipeline import dedup as DD
+
+    banded = DD.band_signatures_rowwise(docs, passthrough=("ts",))
+    x, y = banded.alias("x"), banded.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.sig") == F.col("y.sig"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+        & (F.col("y.ts") >= F.col("x.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("y.ts") <= F.col("x.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("y.doc_id").alias("doc_b"),
+        F.col("x.ts").alias("ts"),
+    )
+    return pairs.dropDuplicatesWithinWatermark(["doc_a", "doc_b"])
+
+
+def run_streaming_lsh_to_memory(
+    spark: SparkSession, src_dir: str, table_name: str = "stream_lsh_pairs"
+) -> None:
+    """Drain the bounded documents source through the candidate stream
+    into an append-mode memory sink (availableNow backfill pattern)."""
+    q = (
+        streaming_lsh_candidates(stream_documents(spark, src_dir))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

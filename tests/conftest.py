@@ -71,9 +71,27 @@ def normalize(rows, colnames):
     return out
 
 
+def assert_driver_hashable(rows, colnames):
+    """Mimic the driver's pandas canonicalizer: a result with raw
+    array/map/struct cells makes ``sort_values`` factorize unhashable
+    Python objects and the driver row goes red even when the values are
+    right (CORRECTNESS_r04 ``hof_gauntlet``). Registry rule: stringify
+    complex outputs (array_join / to_json) before returning."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(colnames))
+    try:
+        pdf.sort_values(by=sorted(pdf.columns), kind="mergesort")
+    except TypeError as e:  # pragma: no cover - lint failure path
+        raise AssertionError(
+            f"result not driver-canonicalizable (raw complex column?): {e}"
+        ) from None
+
+
 def assert_matches_oracle(sdf, duck, sql):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    assert_driver_hashable(srows, scols)
     res = duck.execute(sql)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

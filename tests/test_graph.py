@@ -249,3 +249,42 @@ def test_pagerank_standard_handles_dangling(spark):
     assert abs(total - 1.0) < 1e-9
     got = {r["vertex"]: r["rank"] for r in ranks.collect()}
     assert got[3] > got[2] > got[1]  # 3 receives from both, 1 only dangling share
+
+
+def test_connected_components_survives_capped_residual_rounds(spark):
+    """Adversarial layout for the two-phase union-find: long paths whose
+    consecutive vertices hash to DIFFERENT partitions, so phase 1's
+    per-partition forests contract almost nothing and the root graph
+    stays large; with a tiny driver_edge_cap the extra contraction
+    rounds must fire (several of them) and the residual handed to the
+    driver union-find must be under the cap — while the labels stay
+    exactly right. This is the one CC path the fixture graphs never
+    forced (VERDICT r04 Next #6)."""
+    n_paths, plen = 4, 250
+    edges = []
+    for p in range(n_paths):
+        base = p * plen
+        edges += [(base + i, base + i + 1) for i in range(plen - 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+
+    cap = 16
+    # the adversarial premise must hold: after one local contraction the
+    # root graph still dwarfs the cap (otherwise this test proves nothing)
+    with G._loop_shuffle_partitions(spark, 8):
+        forest = G._forest_contract(e.repartition(8, "src"))
+        g0 = G._root_graph(forest)
+        assert g0.count() > cap, "layout failed to stress the residual path"
+        # and one extra round still doesn't fit under the cap → ≥2 rounds
+        f2 = G._forest_contract(g0.repartition(8, "src"))
+        assert G._root_graph(f2).count() > cap
+
+    out = G.connected_components(
+        spark, e, max_iter=8, loop_partitions=8, driver_edge_cap=cap
+    )
+    got = {r["vertex"]: r["component"] for r in out.collect()}
+    want = {
+        p * plen + i: p * plen
+        for p in range(n_paths)
+        for i in range(plen)
+    }
+    assert got == want

@@ -623,3 +623,40 @@ def test_streaming_timestamp_magnitude_matches_batch(spark, sf_dir):
         load_table(spark, sf_dir, "events").agg(F.min("ts")).collect()[0][0]
     )
     assert stream_min == batch_min
+
+
+def test_rowwise_band_signatures_match_groupby(spark, sf_dir):
+    """The per-row (zero-shuffle, streaming-safe) band signature path
+    must be bit-identical to the explode+groupBy batch path — same
+    universal hash family, two physical strategies. This is the
+    equivalence that lets the streaming ingest path share the batch
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    rowwise = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in DD.band_signatures_rowwise(docs).collect()
+    }
+    sig = DD.minhash_signatures(docs)
+    rows = DD.NUM_HASHES // DD.BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(DD.BANDS)
+    ]
+    grouped = {
+        (r["doc_id"], r["bs"]["band"], r["bs"]["sig"])
+        for r in sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+        ).collect()
+    }
+    assert rowwise == grouped

@@ -112,7 +112,7 @@ def test_foreachbatch_upsert_totals_and_replay_safety(spark, sf_dir, tmp_path):
     """foreachBatch keyed upsert: after draining, the keyed table holds
     exactly the batch per-user totals; a second drain over an unchanged
     source (fresh checkpoint, same batch content replayed as batch 0)
-    must be a no-op thanks to the _batch_ids idempotence guard."""
+    must be a no-op thanks to the _max_batch_id idempotence guard."""
     import shutil
 
     src = tmp_path / "src"
@@ -124,7 +124,7 @@ def test_foreachbatch_upsert_totals_and_replay_safety(spark, sf_dir, tmp_path):
     )
     got = {
         r["user_id"]: (r["n_events"], r["sum_value"])
-        for r in spark.read.parquet(out).collect()
+        for r in SW.read_user_totals(spark, out).collect()
     }
     want = {
         r["user_id"]: (r["n"], r["v"])
@@ -138,12 +138,145 @@ def test_foreachbatch_upsert_totals_and_replay_safety(spark, sf_dir, tmp_path):
     }
     assert got == want
     # replay: new checkpoint sees the same file as batch 0 again; the
-    # _batch_ids guard must skip the merge, leaving totals unchanged
+    # _max_batch_id guard must skip the merge, leaving totals unchanged
     SW.run_user_totals_upsert_stream(
         spark, str(src), out, str(tmp_path / "ck2")
     )
     got2 = {
         r["user_id"]: (r["n_events"], r["sum_value"])
-        for r in spark.read.parquet(out).collect()
+        for r in SW.read_user_totals(spark, out).collect()
     }
     assert got2 == want
+
+
+def test_foreachbatch_upsert_multibatch_merge_and_crash_recovery(
+    spark, sf_dir, tmp_path
+):
+    """Growing source drained through ONE checkpoint: the second drain
+    sees only the new file (batch 1) and must MERGE it into the keyed
+    table — exercising the union-groupBy path and the atomic rename
+    swap against existing state — and a simulated crash between the
+    two publish renames (current gone, pre-merge snapshot parked at
+    __old) must be recovered from __old on the next drain instead of
+    restarting from an empty table. Full-precision storage means k
+    merges of the same source give exactly k-times the single-pass
+    totals after the read-side 4 dp rounding."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "e1.parquet")
+    out = str(tmp_path / "totals")
+    ck = str(tmp_path / "ck")
+    SW.run_user_totals_upsert_stream(spark, str(src), out, ck, glob="*.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "e2.parquet")
+    SW.run_user_totals_upsert_stream(spark, str(src), out, ck, glob="*.parquet")
+    base = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    want = {u: (2 * n, round(2 * v, 4)) for u, (n, v) in base.items()}
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in SW.read_user_totals(spark, out).collect()
+    }
+    assert got == want
+    # no collect-based rewrite left anywhere in the sink
+    import inspect
+
+    assert ".collect()" not in inspect.getsource(
+        SW.run_user_totals_upsert_stream
+    )
+    # simulate the crash window: current renamed away to __old, publish
+    # never completed
+    fs, cur = SW._hadoop_fs(spark, out)
+    jvm = spark._jvm
+    old_p = jvm.org.apache.hadoop.fs.Path(out + ".__old")
+    assert fs.rename(cur, old_p)
+    shutil.copy(f"{sf_dir}/events.parquet", src / "e3.parquet")
+    SW.run_user_totals_upsert_stream(spark, str(src), out, ck, glob="*.parquet")
+    want3 = {u: (3 * n, round(3 * v, 4)) for u, (n, v) in base.items()}
+    got3 = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in SW.read_user_totals(spark, out).collect()
+    }
+    assert got3 == want3
+
+
+def test_streaming_lsh_candidates_match_batch(spark, sf_dir):
+    """Ingest-time banded-LSH candidate stream ≡ the batch
+    lsh_candidate_pairs over the same documents: the per-row signature
+    expressions and the watermark-bounded self-join must reproduce the
+    batch pair set exactly when the bounded source is drained (every
+    doc arrives within the join window by construction of the derived
+    event time)."""
+    from mapreducelearnings_spark.pipeline import dedup as DD
+
+    SW.run_streaming_lsh_to_memory(spark, sf_dir, table_name="t_slsh")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in spark.table("t_slsh").collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.lsh_candidate_pairs(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert want, "fixture should contain near-duplicates"
+    assert got == want
+    # in-stream pair dedup means the sink holds each pair exactly once
+    assert spark.table("t_slsh").count() == len(got)
+
+
+def test_streaming_lsh_composes_with_exact_dedup_stream(spark, tmp_path):
+    """dedup_stream ∘ streaming LSH: exact duplicates are dropped by
+    dropDuplicatesWithinWatermark on the content hash BEFORE signatures
+    are computed, so a replayed/duplicated document contributes no
+    self-pair and each near-dup pair appears once. Crafted corpus:
+    doc 1 and doc 2 are near-dups; doc 3 is an exact replay of doc 1
+    under a new doc_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest tonight"
+    )
+    near = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the deep green forest today"
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, near, base]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["t"] * 3),
+            "n_chars": pa.array([len(base), len(near), len(base)], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    docs = SW.stream_documents(spark, str(tmp_path))
+    deduped = docs.withColumn("text_hash", F.md5("text")).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+    q = (
+        SW.streaming_lsh_candidates(deduped)
+        .writeStream.format("memory")
+        .queryName("t_slsh_comp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in spark.table("t_slsh_comp").collect()
+    }
+    # doc 3 (exact replay of 1) was dropped at ingest: exactly one pair
+    # survives, and it involves the surviving copy of the duplicated text
+    assert len(pairs) == 1
+    (a, b) = next(iter(pairs))
+    assert b == 2 or a == 2

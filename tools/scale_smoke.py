@@ -1,0 +1,155 @@
+"""Scale smoke for the heavy query family (VERDICT r04 Next #7).
+
+Generates an sf0.3-equivalent slice of the two LLM-pipeline tables
+(documents 3x, embeddings 3x — same statistical shape as the driver
+fixtures: word-salad docs over the same vocabulary with planted
+near-duplicates; 64-dim clustered float vectors), copies the sf0.1
+relational tables alongside so the dir is a complete sf layout, then
+times the heavy family at sf0.1 vs the scaled dir and prints one JSON
+line with per-query ratios. Near-linear growth (time ratio ≲ data
+ratio, modulo fixed job overhead) is the evidence that the 100x-scale
+claim rests on measurements, not plan shape alone.
+
+The scaled dir is also a valid check_oracles target (the oracles are
+scale-independent SQL), so exact value parity can be re-checked at
+sf0.3:  python tools/check_oracles.py /tmp/scale_smoke/sf0.3 <names>
+
+Usage: python tools/scale_smoke.py [mult] [out_root]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+VOCAB = (
+    "spark line column order small sort fast value scan stream filter big "
+    "batch merge group a the key hash table query agg join vector part "
+    "customer slow"
+).split()
+LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "corpus_curation",
+    "sequence_packing",
+    "dedup_stream_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "ann_hamming_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_hamming_topk",
+]
+
+
+def gen_documents(n_docs: int, seed: int = 43) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    texts: list[str] = []
+    i = 0
+    while len(texts) < n_docs:
+        n_words = int(rng.integers(8, 100))
+        words = rng.choice(VOCAB, size=n_words)
+        texts.append(" ".join(words))
+        # plant near-duplicates (~6%): perturb the doc just emitted by
+        # swapping a couple of tokens — the structure every dedup path
+        # (shingle Jaccard, minhash-LSH, clusters) feeds on
+        if rng.random() < 0.06 and len(texts) < n_docs:
+            w = list(words)
+            for _ in range(int(rng.integers(1, 3))):
+                w[int(rng.integers(0, len(w)))] = str(rng.choice(VOCAB))
+            texts.append(" ".join(w))
+        i += 1
+    texts = texts[:n_docs]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(
+                [LANGS[int(x)] for x in np.random.default_rng(seed + 1).integers(0, len(LANGS), n_docs)]
+            ),
+            "source": pa.array([f"src{i % 20}" for i in range(n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n_vecs: int, dims: int = 64, seed: int = 47) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(20, dims))
+    cluster = rng.integers(0, 20, n_vecs)
+    vecs = centers[cluster] + 0.3 * rng.normal(size=(n_vecs, dims))
+    # plant near-duplicate vectors (~3%)
+    dup_of = rng.integers(0, n_vecs, n_vecs)
+    dup_mask = (rng.random(n_vecs) < 0.03) & (dup_of < np.arange(n_vecs))
+    vecs[dup_mask] = vecs[dup_of[dup_mask]] + 0.01 * rng.normal(
+        size=(int(dup_mask.sum()), dims)
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([int(c) for c in cluster], pa.int32()),
+        }
+    )
+
+
+def build_scaled_dir(out_dir: str, mult: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in "region nation customer supplier part orders lineitem events".split():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), dst)
+    n_docs = 5000 * mult
+    n_vecs = 2000 * mult
+    pq.write_table(gen_documents(n_docs), os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_vecs), os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_smoke"
+    scaled = os.path.join(out_root, f"sf0.{mult}")
+    build_scaled_dir(scaled, mult)
+
+    from mapreducelearnings_spark.session import get_spark
+    from mapreducelearnings_spark.queries import REGISTRY
+
+    spark = get_spark("scale_smoke", shuffle_partitions=32)
+    results: dict[str, dict] = {}
+    for name in HEAVY:
+        spec = REGISTRY[name]
+        row = {}
+        for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = spec.spark(spark, sf_dir).count()
+            row[label] = round(time.perf_counter() - t0, 3)
+            row[f"{label}_rows"] = n
+        row["ratio"] = round(row["scaled"] / max(row["base"], 1e-9), 2)
+        results[name] = row
+        print(f"{name:32s} base={row['base']:7.2f}s scaled={row['scaled']:7.2f}s "
+              f"ratio={row['ratio']:.2f} (data {mult}x)", flush=True)
+    line = json.dumps({"mult": mult, "queries": results})
+    with open(os.path.join(out_root, "scale_smoke.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
