@@ -81,6 +81,18 @@ HEADLINE = [
     "pagerank_df_quirk",
     "sales_rollup",
     "quantity_percentiles",
+    # round-5 TPC-H-style composite-plan pack
+    "order_priority_semi",
+    "volume_shipping",
+    "returned_items",
+    "promo_revenue",
+    "large_orders",
+    "disjunctive_revenue",
+    "idle_customers",
+    "min_cost_supplier",
+    "grouping_sets_pricing",
+    "repetition_stats",
+    "pii_redact",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,
@@ -94,6 +106,7 @@ HEADLINE = [
     "ann_hamming_topk",
     "ann_pq_adc_topk",
     "ann_ivf_hamming_topk",
+    "ann_ivf_pq_topk",
     "ann_pq_trained_topk",
     "similarity_topk_q8",
     "dedup_embedding_cosine",
@@ -140,6 +153,9 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_ivf_hamming_topk": recall(
             SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()
+        ),
+        "ann_ivf_pq_topk": recall(
+            SS.ivf_pq_topk(emb, n_queries=8, k=5).collect()
         ),
         "ann_pq_trained_topk": recall(
             SS.pq_adc_topk(

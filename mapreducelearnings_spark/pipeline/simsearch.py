@@ -1122,3 +1122,98 @@ def lsh_ann_topk_multi(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+    rerank_mult: int = PQ_RERANK_MULT,
+) -> DataFrame:
+    """IVF × PQ-ADC COMPOSITION — the FAISS ``IVFPQ`` read path, the
+    standard billion-scale ANN index shape: candidates are pruned to
+    the query's ``n_probes`` nearest coarse cells, the survivors are
+    pre-ranked by the ADC estimate over their 32-bit PQ codes, and only
+    the per-query top R = k·rerank_mult touch full vectors for exact
+    rerank.
+
+    vs :func:`ivf_hamming_topk` (the sign-bit sibling): same cell
+    pruning, but the in-cell scan reads 4 B/row of corpus-adaptive
+    codes instead of 16 B/row of data-blind sign bits — at equal R the
+    codebook recalls more of the wide-angle neighbors this corpus hides
+    (measured in bench next to the rest of the ANN ladder).
+
+    Scale shape: at 100 TB the corpus is stored bucketed by IVF cell
+    with the code column alongside (both assigned once at ingest); a
+    query reads n_probes/n_cells of the buckets, the ADC scan is an
+    equi-join on (m, code) against 128 broadcast codebook rows plus one
+    (query, vec) partial-agg sum, and exact math touches R rows per
+    query. ADC sums are rounded 6 dp before ranking (the engine's
+    accumulation-noise kill), so the composed approximate result is
+    fully oracle-checked like every other ANN entry."""
+    embn = _emb_normed(embeddings)
+    assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
+    cb = pq_codebooks(embeddings)
+    codes = pq_encode(embn, cb).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )  # (vec_id, m, code, cell)
+    cent = embn.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    q = embn.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    qprobe = (
+        qs.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select("query_id", "qe", F.col("cid").cast("long").alias("cell"))
+    )
+    part = (
+        codes.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(cb), ["m", "code"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.dot(
+                F.slice(F.col("qe"), F.col("m") * PQ_DSUB + 1, F.lit(PQ_DSUB)),
+                F.col("ce"),
+            ).alias("ps"),
+        )
+    )
+    approx = part.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.sum("ps"), 6).alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .where(F.col("ar") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    c = embn.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qe"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

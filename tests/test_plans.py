@@ -141,3 +141,55 @@ def test_rolling_hour_single_hash_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_rolling_hour")
     assert plan.count("- Exchange (") == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_disjunctive_revenue_pushes_bracket_implications(spark, sf_dir):
+    """TPC-H Q19's cross-side OR must not defeat pushdown: Catalyst
+    extracts the single-side implications of the brackets and pushes
+    them into BOTH scans; the part dim broadcasts."""
+    plan = plan_of(spark, sf_dir, "disjunctive_revenue")
+    # lineitem scan: l_quantity bounds from the OR'd brackets
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("ReadSchema")[0] or "l_quantity" in plan
+    # tree section lists the join once as "BroadcastHashJoin Inner ..."
+    assert plan.count("BroadcastHashJoin Inner") == 1
+    assert "SortMergeJoin" not in plan
+    # part side: brand/size implications reach the scan as data filters
+    assert "p_size" in plan
+
+
+def test_order_priority_semi_keeps_equi_shuffle_key(spark, sf_dir):
+    """Q4's EXISTS with a non-equi ship-lag residual must still plan as
+    a semi join keyed on the equi column (no nested-loop blowup)."""
+    plan = plan_of(spark, sf_dir, "order_priority_semi")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_semi_joins_having_survivors(spark, sf_dir):
+    """Q18's IN-subquery compiles to aggregate → HAVING → semi join;
+    the qualifying-order side is tiny so no query-wide SMJ cascade."""
+    plan = plan_of(spark, sf_dir, "large_orders")
+    assert "LeftSemi" in plan
+
+
+def test_idle_customers_broadcasts_scalar_and_antijoins(spark, sf_dir):
+    """Q22's scalar subquery is a 1-row broadcast (never a collect);
+    NOT EXISTS plans as LeftAnti with the date filter pushed below."""
+    plan = plan_of(spark, sf_dir, "idle_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed into orders scan
+
+
+def test_pii_redact_is_shuffle_free_scan(spark, sf_dir):
+    """The redaction pass is a map-only scan: no exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_repetition_stats_partial_aggregates(spark, sf_dir):
+    """Both groupBys (doc_id,tok) and (doc_id) must partial-aggregate
+    before their shuffles — 4 HashAggregates in the plan."""
+    plan = plan_of(spark, sf_dir, "repetition_stats")
+    assert plan.count("HashAggregate") >= 4
