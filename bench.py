@@ -159,7 +159,11 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_pq_trained_topk": recall(
             SS.pq_adc_topk(
-                emb, n_queries=8, k=5, trained_rounds=SS.PQ_LLOYD_ROUNDS
+                emb,
+                n_queries=8,
+                k=5,
+                trained_rounds=SS.PQ_LLOYD_ROUNDS,
+                train_sample_mod=4,
             ).collect()
         ),
     }

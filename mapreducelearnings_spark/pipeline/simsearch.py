@@ -789,7 +789,11 @@ def pq_encode(emb_normed: DataFrame, cb: DataFrame) -> DataFrame:
 PQ_LLOYD_ROUNDS = 1
 
 
-def pq_train(embeddings: DataFrame, rounds: int = PQ_LLOYD_ROUNDS) -> DataFrame:
+def pq_train(
+    embeddings: DataFrame,
+    rounds: int = PQ_LLOYD_ROUNDS,
+    sample_mod: int | None = None,
+) -> DataFrame:
     """Lloyd-trained PQ codebooks: init = the deterministic sample
     (:func:`pq_codebooks`), then ``rounds`` iterations of per-subspace
     assign → component-wise mean. Means are ROUNDed to 9 dp — the one
@@ -799,12 +803,22 @@ def pq_train(embeddings: DataFrame, rounds: int = PQ_LLOYD_ROUNDS) -> DataFrame:
     relational: assignment is the same partial-agg argmin as encoding,
     the mean is one 128-row groupBy per round — training cost is
     rounds × one corpus scan; at 100 TB train on a bounded sample and
-    encode the full corpus once at ingest."""
+    encode the full corpus once at ingest. ``sample_mod`` makes that
+    production shape the registered one (same convention as
+    :func:`lloyd_train`): the Lloyd rounds assign/mean only the
+    deterministic ``vec_id % sample_mod == 0`` slice, cutting training
+    cost by the sample factor while the final encode still covers the
+    full corpus."""
     emb = _emb_normed(embeddings)
-    subs = _pq_subvectors(emb)
+    train = (
+        emb.where(F.col("vec_id") % sample_mod == 0)
+        if sample_mod is not None
+        else emb
+    )
+    subs = _pq_subvectors(train)
     cb = pq_codebooks(embeddings)
     for _ in range(rounds):
-        enc = pq_encode(emb, cb)
+        enc = pq_encode(train, cb)
         cb = (
             enc.join(subs, ["vec_id", "m"])
             .groupBy("m", "code")
@@ -827,6 +841,7 @@ def pq_adc_topk(
     k: int = 5,
     rerank_mult: int = PQ_RERANK_MULT,
     trained_rounds: int = 0,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with Asymmetric Distance Computation:
     the corpus is stored as 32-bit PQ codes (8 subspaces × 4 bits —
@@ -850,7 +865,7 @@ def pq_adc_topk(
     codebooks (:func:`pq_train`) with identical plumbing downstream."""
     emb = _emb_normed(embeddings)
     cb = (
-        pq_train(embeddings, trained_rounds)
+        pq_train(embeddings, trained_rounds, sample_mod=train_sample_mod)
         if trained_rounds
         else pq_codebooks(embeddings)
     )

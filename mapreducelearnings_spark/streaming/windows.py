@@ -407,16 +407,27 @@ def run_streaming_lsh_to_memory(
     spark: SparkSession, src_dir: str, table_name: str = "stream_lsh_pairs"
 ) -> None:
     """Drain the bounded documents source through the candidate stream
-    into an append-mode memory sink (availableNow backfill pattern)."""
-    q = (
-        streaming_lsh_candidates(stream_documents(spark, src_dir))
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    into an append-mode memory sink (availableNow backfill pattern).
+
+    The drain runs under ``loop_conf``: a stream-stream join allocates
+    one state store per shuffle partition per micro-batch, and at the
+    default 32 partitions that fixed state-store overhead dominated the
+    fixture-scale drain (~110 s at sf0.01 → ~3× faster at 8). The
+    partition count is a per-run sizing knob exactly like the batch
+    side's shuffle partitions — at real ingest volume it scales back up
+    with the key cardinality; nothing in the query shape changes."""
+    from ..plans.iterate import loop_conf
+
+    with loop_conf(spark, 8):
+        q = (
+            streaming_lsh_candidates(stream_documents(spark, src_dir))
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 # ---------------------------------------------------------------------------

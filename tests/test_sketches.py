@@ -1,0 +1,116 @@
+"""Approximate-aggregate (sketch) surface with bounded-error contracts.
+
+These operators are deliberately NOT in the oracle registry: their
+outputs are estimator-dependent (HyperLogLog++, KLL/GK quantiles,
+Count-Min), so a DuckDB value-hash comparison would pin implementation
+details rather than semantics. The correct contract is an error bound
+against the exact answer computed by the engine itself — the same
+shape the reference's counter-based approximations would need.
+
+At 100 TB these are the *default* forms: exact COUNT(DISTINCT) is a
+full shuffle of every key, while HLL++ is a fixed 2^p-byte sketch per
+partition merged associatively (one tiny shuffle); approx_percentile
+replaces a full sort with a mergeable quantile sketch; count_min_sketch
+replaces a per-key hash table with a fixed-size matrix. Each test
+asserts the documented error envelope so a regression in how we call
+them (wrong rsd, wrong accuracy knob) fails loudly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mapreducelearnings_spark.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_hll_distinct_within_rsd(events):
+    """approx_count_distinct(rsd=0.02) lands within 3*rsd of exact —
+    global and per-group (the grouped form is the one that matters at
+    scale: one 2^p sketch per (group, partition), merged)."""
+    exact = events.select(
+        F.countDistinct("user_id").alias("d")
+    ).collect()[0]["d"]
+    approx = events.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("d")
+    ).collect()[0]["d"]
+    assert abs(approx - exact) <= max(1, 3 * 0.02 * exact)
+
+    ex = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    ap = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("d"))
+        .collect()
+    }
+    assert set(ex) == set(ap)
+    for k in ex:
+        assert abs(ap[k] - ex[k]) <= max(2, 3 * 0.02 * ex[k]), k
+
+
+def test_approx_percentile_rank_error_bounded(lineitem):
+    """approx_percentile(accuracy=a) guarantees rank error <= n/a: the
+    returned value's true rank must sit within that window of the
+    target rank."""
+    accuracy = 1000
+    n = lineitem.count()
+    vals = [
+        r["l_extendedprice"]
+        for r in lineitem.select("l_extendedprice").collect()
+    ]
+    vals.sort()
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = lineitem.select(
+            F.percentile_approx("l_extendedprice", q, accuracy).alias("p")
+        ).collect()[0]["p"]
+        # true rank window of the estimate
+        import bisect
+
+        lo = bisect.bisect_left(vals, est)
+        hi = bisect.bisect_right(vals, est)
+        target = q * n
+        slack = n / accuracy + 1
+        assert lo - slack <= target <= hi + slack, (q, est, lo, hi, target)
+
+
+def test_count_min_sketch_overestimates_within_bound(events):
+    """Count-Min never under-counts, and over-counts by at most
+    eps*n with probability 1-delta (eps=0.01, delta=0.001 here; the
+    fixture is far under the bound so a hard assert is safe)."""
+    n = events.count()
+    exact = {
+        r["event_type"]: r["c"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    sketch_bytes = events.select(
+        F.count_min_sketch(
+            F.col("event_type"), F.lit(0.005), F.lit(0.001), F.lit(42)
+        ).alias("s")
+    ).collect()[0]["s"]
+    # read the sketch back through the JVM helper
+    spark = events.sparkSession
+    jvm = spark._sc._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sketch_bytes))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    eps_bound = 0.005 * 2.718281828 * n  # eps is relative to total count
+    for k, c in exact.items():
+        est = cms.estimateCount(k)
+        assert est >= c, (k, est, c)
+        assert est - c <= max(1, eps_bound), (k, est, c)

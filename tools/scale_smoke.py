@@ -52,6 +52,7 @@ HEAVY = [
     "ann_hamming_topk",
     "ann_pq_adc_topk",
     "ann_ivf_hamming_topk",
+    "ann_ivf_pq_topk",
 ]
 
 
