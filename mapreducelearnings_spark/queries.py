@@ -3593,6 +3593,216 @@ def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape — THE predicate-pushdown benchmark query: a "
+    "single scan whose entire cost is how many of the four conjuncts "
+    "reach the parquet reader (all four push: two date bounds, the "
+    "discount band, the quantity cap — plan-asserted), then one "
+    "global two-column aggregate. No joins, no shuffle beyond the "
+    "1-row final agg.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "order_count_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution; the "
+    "comment-pattern exclusion adapted to an order-priority "
+    "exclusion): LEFT OUTER join with the residual predicate in the "
+    "ON clause — customers with zero qualifying orders must survive "
+    "with c_count = 0 (COUNT of a null column skips them), then a "
+    "second aggregation turns per-customer counts into a histogram. "
+    "Two shuffles, both partial-aggregated; the classic two-level "
+    "aggregation shape.",
+)
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0 * 100 + 0.5) / 100 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pa.pk = l_partkey
+    WHERE p_brand = 'Brand#2' AND l_quantity < lim
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated scalar subquery (each lineitem compared to 0.2x its "
+    "part's average quantity) decorrelated into a per-part aggregate "
+    "joined back — the rollup runs once over the scan and Catalyst "
+    "broadcasts it; never a per-row re-aggregation. Quantities are "
+    "integer-valued so AVG is division-exact; the /7.0 output is "
+    "FLOOR-quantized (lesson 14).",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#2")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("lim")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pa, F.col("pk") == li["l_partkey"])
+        .where(F.col("l_quantity") < F.col("lim"))
+    )
+    return j.agg(
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+                * 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "market_share",
+    """
+    WITH all_sales AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+               AS vol,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS mkt_share,
+           CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS total_vol
+    FROM all_sales GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (supplier-nation market share among one "
+    "customer region's sales, by year): a 7-way join — region and "
+    "both nation roles broadcast, the region filter prunes the "
+    "customer side before the fact shuffles — feeding a conditional "
+    "share ratio per year. Volumes are decimal-exact sums; the share "
+    "is FLOOR-quantized at 6 dp (lesson 14).",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("vol"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return j.groupBy("o_year").agg(
+        (
+            F.floor(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("vol")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("vol").cast("double")
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("mkt_share"),
+        F.round(F.sum("vol"), 2).cast("double").alias("total_vol"),
+    )
+
+
+@register(
     "repetition_stats",
     """
     WITH toks AS (SELECT doc_id,
@@ -3836,9 +4046,9 @@ _CORRECTNESS_WINDOW = [
     "promo_revenue", "large_orders", "disjunctive_revenue",
     "idle_customers", "min_cost_supplier", "grouping_sets_pricing",
     "ann_ivf_pq_topk",
+    "forecast_revenue", "order_count_distribution",
+    "small_quantity_revenue", "market_share",
     "dedup_clusters", "dedup_clusters_star",
-    "sentence_stats", "text_normalize",
-    "inverted_index", "bm25_topk",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_ivf_hamming_topk", "ann_pq_trained_topk",
@@ -3863,6 +4073,8 @@ _TAIL = [
     "distinct_users_per_type", "sliding_windows",
     "top_events_per_user", "pagerank_df_quirk",
     "pagerank_topk", "kmeans_followers",
+    "sentence_stats", "text_normalize",
+    "inverted_index", "bm25_topk",
     "follower_sum", "max_filter", "distinct_pairs",
     "right_outer_join", "explode_tokens", "salted_follower_count",
     "triangle_count_broadcast", "triangle_count_capped",

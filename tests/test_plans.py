@@ -193,3 +193,19 @@ def test_repetition_stats_partial_aggregates(spark, sf_dir):
     before their shuffles — 4 HashAggregates in the plan."""
     plan = plan_of(spark, sf_dir, "repetition_stats")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_forecast_revenue_pushes_all_conjuncts(spark, sf_dir):
+    """Q6: all four predicates must reach the parquet scan."""
+    plan = plan_of(spark, sf_dir, "forecast_revenue")
+    scan = plan.split("PushedFilters:")[1].split("\n")[0]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in scan, (frag, scan)
+
+
+def test_small_quantity_revenue_decorrelates_once(spark, sf_dir):
+    """Q17: the per-part average must be ONE aggregation joined back,
+    never a per-row re-aggregation (no nested loop)."""
+    plan = plan_of(spark, sf_dir, "small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
