@@ -3803,6 +3803,120 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_exclusive_suppliers",
+    """
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lines l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape (suppliers who alone held up an order; "
+    "receipt-vs-commit lateness adapted to ship-lag > 90 days): the "
+    "hardest reference filter — an EXISTS and a NOT EXISTS against "
+    "the same derived table, each with an equi key plus a <> "
+    "residual. Plans as two consecutive shuffles on l_orderkey (semi "
+    "then anti, residual evaluated in-join); the derived line table "
+    "is computed once and reused, supplier dim broadcasts at the "
+    "end.",
+)
+def q_late_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    lines = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        ).alias("late"),
+    )
+    l1 = lines.where(F.col("late"))
+    l2 = lines.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = lines.where(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3["k3"]) & (F.col("l_suppkey") != l3["s3"]),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "important_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM pr
+    WHERE val > (SELECT 1.2 * CAST(SUM(val) AS DOUBLE) / COUNT(*) FROM pr)
+    """,
+    doc="TPC-H Q11 shape (above-threshold value concentration; "
+    "partsupp stock value adapted to per-part revenue, and the "
+    "absolute fraction to 1.2x the mean so selectivity is "
+    "scale-independent): a HAVING-style filter against a scalar "
+    "aggregate OF the same aggregation — the rollup runs once, the "
+    "1-row global re-aggregate broadcasts back as the threshold. The "
+    "threshold is derived sum-then-divide in IEEE doubles on both "
+    "engines (never AVG(decimal), whose intermediate rounding "
+    "differs), so the boundary row set is identical.",
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("val")
+    )
+    thr = pr.agg(
+        (
+            1.2 * F.sum("val").cast("double") / F.count(F.lit(1))
+        ).alias("thr")
+    )
+    return (
+        pr.crossJoin(F.broadcast(thr))
+        .where(F.col("val").cast("double") > F.col("thr"))
+        .select(
+            "l_partkey",
+            F.round("val", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@register(
     "repetition_stats",
     """
     WITH toks AS (SELECT doc_id,
@@ -4048,7 +4162,7 @@ _CORRECTNESS_WINDOW = [
     "ann_ivf_pq_topk",
     "forecast_revenue", "order_count_distribution",
     "small_quantity_revenue", "market_share",
-    "dedup_clusters", "dedup_clusters_star",
+    "late_exclusive_suppliers", "important_parts",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_ivf_hamming_topk", "ann_pq_trained_topk",
@@ -4073,6 +4187,7 @@ _TAIL = [
     "distinct_users_per_type", "sliding_windows",
     "top_events_per_user", "pagerank_df_quirk",
     "pagerank_topk", "kmeans_followers",
+    "dedup_clusters", "dedup_clusters_star",
     "sentence_stats", "text_normalize",
     "inverted_index", "bm25_topk",
     "follower_sum", "max_filter", "distinct_pairs",

@@ -209,3 +209,14 @@ def test_small_quantity_revenue_decorrelates_once(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "small_quantity_revenue")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_late_exclusive_suppliers_semi_then_anti(spark, sf_dir):
+    """Q21: the EXISTS and NOT EXISTS against the same derived table
+    must plan as a semi join followed by an anti join on the order
+    key, with the <> residual in-join — never a nested loop."""
+    plan = plan_of(spark, sf_dir, "late_exclusive_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
