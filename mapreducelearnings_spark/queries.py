@@ -3916,6 +3916,51 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_LEN = 200
+_CHUNK_STRIDE = 150
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH gs AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 16))
+    SELECT doc_id, s AS chunk_idx,
+           substr(text, CAST(s * {_CHUNK_STRIDE} + 1 AS INT), {_CHUNK_LEN})
+             AS chunk,
+           CAST(length(substr(text, CAST(s * {_CHUNK_STRIDE} + 1 AS INT),
+                              {_CHUNK_LEN})) AS BIGINT) AS chunk_len
+    FROM documents CROSS JOIN gs
+    WHERE s * {_CHUNK_STRIDE} < length(text)
+    """,
+    doc="Overlapping document chunking — the embedding-window op every "
+    "RAG/pretraining pipeline runs before the encoder: fixed-size "
+    "character windows (200 chars, stride 150 → 50-char overlap) via "
+    "a computed per-row sequence explode; the last chunk is short, "
+    "never padded. Row-expanding map-only plan (explode of "
+    "F.sequence, no shuffle, no UDF); at 100 TB chunking fuses into "
+    "the ingest scan and the chunk count is length-proportional, "
+    "never a fixed fan-out. The oracle mirrors with a bounded "
+    "range+filter (chunk grid ≡ sequence bound: s·stride < len).",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / F.lit(_CHUNK_STRIDE)).cast("long")
+    chunks = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("s"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("s") * _CHUNK_STRIDE + 1).cast("int"), F.lit(_CHUNK_LEN)
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("s").alias("chunk_idx"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+    )
+
+
 @register(
     "repetition_stats",
     """
@@ -4162,17 +4207,18 @@ _CORRECTNESS_WINDOW = [
     "ann_ivf_pq_topk",
     "forecast_revenue", "order_count_distribution",
     "small_quantity_revenue", "market_share",
-    "late_exclusive_suppliers", "important_parts",
+    "late_exclusive_suppliers", "important_parts", "doc_chunks",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_ivf_hamming_topk", "ann_pq_trained_topk",
     "dedup_embedding_cosine", "multimodal_meta",
-    "sequence_packing", "pivot_event_counts", "unpivot_event_counts",
+    "sequence_packing",
     "stratified_sample", "decontamination", "top_supplier",
     "salted_join",
     "ann_ivf_topk", "dedup_embedding_clusters", "window_function_gauntlet",
     "explode_variants", "hof_gauntlet", "quality_filter",
     "events_rolling_hour", "similarity_topk_q8",
+    "corpus_curation",
 ]
 
 # Outside the driver's 50-row window this round (every one has a green
@@ -4180,13 +4226,14 @@ _CORRECTNESS_WINDOW = [
 # sf0.001 by tests/test_oracle_parity and at sf0.01 by
 # tools/check_oracles.py every round):
 _TAIL = [
-    # moved out this round to make room for the round-5 pack — all ten
+    # moved out this round to make room for the round-5 pack — all
     # have green r04 driver rows and unchanged code:
-    "corpus_curation", "dedup_ngram_jaccard", "token_counts_bpe",
+    "dedup_ngram_jaccard", "token_counts_bpe",
     "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
     "distinct_users_per_type", "sliding_windows",
     "top_events_per_user", "pagerank_df_quirk",
     "pagerank_topk", "kmeans_followers",
+    "pivot_event_counts", "unpivot_event_counts",
     "dedup_clusters", "dedup_clusters_star",
     "sentence_stats", "text_normalize",
     "inverted_index", "bm25_topk",

@@ -220,3 +220,12 @@ def test_late_exclusive_suppliers_semi_then_anti(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunks_is_shuffle_free_expansion(spark, sf_dir):
+    """Chunking is a map-only row expansion: Generate (explode) in the
+    plan, no Exchange anywhere, no Python worker."""
+    plan = plan_of(spark, sf_dir, "doc_chunks")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
