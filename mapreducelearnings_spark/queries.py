@@ -4176,23 +4176,29 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 # Round-5 rotation (evidence-freshness, per VERDICT r04 Next #4): IN —
-# (a) the eleven queries NEW this round (dedup_stream_lsh + the
-# TPC-H-style composite-plan pack + ann_ivf_pq_topk), none with a
-# driver row yet; (b) the seven tail entries whose last driver-green
+# (a) the twenty queries NEW this round (dedup_stream_lsh, the
+# fifteen TPC-H-style composite-plan entries ending at
+# late_exclusive_suppliers/important_parts, ann_ivf_pq_topk,
+# repetition_stats, pii_redact, doc_chunks), none with a driver row
+# yet; (b) the seven tail entries whose last driver-green
 # row is oldest (r01/r02 era): sales_cube, set_except, set_intersect,
 # anti_join, customer_running_totals, lang_id, udf_discounted_price.
 # Entries whose code CHANGED this round (hof_gauntlet stringify,
-# ann_ivf_trained_topk sampled training, sequence_packing shard math,
-# stratified_sample projection) stay in the window so the driver
-# re-proves them post-change. OUT — eighteen r04-green entries
-# untouched this round (follower_sum, max_filter, distinct_pairs,
-# right_outer_join, explode_tokens, salted_follower_count,
-# triangle_count_broadcast, triangle_count_capped, corpus_curation,
-# dedup_ngram_jaccard, token_counts_bpe, token_doc_frequency,
-# sql_revenue_by_nation, shipping_priority, distinct_users_per_type,
-# sliding_windows, top_events_per_user, pagerank_df_quirk); each keeps
-# its fresh r04 driver row, the full local oracle suite every round,
-# and the sf0.01 check_oracles re-run recorded in COVERAGE.md.
+# ann_ivf_trained_topk sampled training, ann_pq_trained_topk sampled
+# training, min_cost_supplier argmin, sequence_packing shard math,
+# stratified_sample projection, dedup_stream_lsh scoped conf) stay in
+# the window so the driver re-proves them post-change. OUT — r04-green
+# entries untouched this round (follower_sum, max_filter,
+# distinct_pairs, right_outer_join, explode_tokens,
+# salted_follower_count, triangle_count_broadcast,
+# triangle_count_capped, dedup_ngram_jaccard, token_counts_bpe,
+# token_doc_frequency, sql_revenue_by_nation, shipping_priority,
+# distinct_users_per_type, sliding_windows, top_events_per_user,
+# pagerank_df_quirk, pagerank_topk, kmeans_followers, dedup_clusters,
+# dedup_clusters_star, pivot/unpivot_event_counts, sentence_stats,
+# text_normalize, inverted_index, bm25_topk); each keeps its fresh r04
+# driver row, the full local oracle suite every round, and the sf0.01
+# check_oracles re-runs recorded in COVERAGE.md.
 _CORRECTNESS_WINDOW = [
     "dedup_stream_lsh", "sales_cube",
     "set_except", "set_intersect", "anti_join",
