@@ -660,3 +660,40 @@ def test_rowwise_band_signatures_match_groupby(spark, sf_dir):
         ).collect()
     }
     assert rowwise == grouped
+
+
+def test_ann_index_roundtrip_matches_in_memory(spark, sf_dir, tmp_path):
+    """The on-disk cell-partitioned index must return BIT-IDENTICAL
+    top-k to the in-memory IVF×PQ composition — same centroids, codes,
+    rounding — while reading only probed cells."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index")
+    SS.ann_index_write(emb, path)
+    on_disk = {
+        tuple(r)
+        for r in SS.ann_index_topk(spark, path, emb, n_queries=4, k=5).collect()
+    }
+    in_mem = {
+        tuple(r) for r in SS.ivf_pq_topk(emb, n_queries=4, k=5).collect()
+    }
+    assert on_disk == in_mem
+    assert len(on_disk) > 0
+
+
+def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe-cell filter must reach the scan as PARTITION pruning:
+    the executed plan's file index reads only the probed cell
+    directories, not all IVF_CELLS of them."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index_prune")
+    SS.ann_index_write(emb, path)
+    df = SS.ann_index_topk(spark, path, emb, n_queries=2, k=3)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1].split("]")[0]
