@@ -100,6 +100,8 @@ HEADLINE = [
     "late_exclusive_suppliers",
     "important_parts",
     "doc_chunks",
+    "late_exclusive_suppliers_sql",
+    "best_revenue_supplier",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,

@@ -3869,6 +3869,101 @@ def q_late_exclusive_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q21_SQL = """
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lines l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lines l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    """
+
+
+@register(
+    "late_exclusive_suppliers_sql",
+    _Q21_SQL,
+    doc="Q21 as dialect-portable SQL TEXT: the exact string the DuckDB "
+    "oracle runs is fed to spark.sql over the registered catalog "
+    "views — one declaration, two engines. On the Spark side this "
+    "exercises Catalyst's subquery machinery (RewritePredicateSubquery "
+    "turns the correlated EXISTS/NOT EXISTS into the same "
+    "semi/anti-join plan the DataFrame twin builds by hand — the twin "
+    "equivalence is the test that the rewrite is semantics-preserving "
+    "at every scale the suite runs).",
+)
+def q_late_exclusive_suppliers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+@register(
+    "best_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier via revenue view + scalar-MAX "
+    "equality): unlike a LIMIT-1 top-k, the scalar-equality form "
+    "keeps ALL tied maxima — the rollup runs once, its 1-row MAX "
+    "re-aggregate broadcasts back as the filter. Revenue is a "
+    "decimal-exact sum so the equality compares exact values, never "
+    "rounded doubles.",
+)
+def q_best_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_rev"),
+        )
+    )
+
+
 @register(
     "important_parts",
     """
@@ -4214,13 +4309,13 @@ _CORRECTNESS_WINDOW = [
     "forecast_revenue", "order_count_distribution",
     "small_quantity_revenue", "market_share",
     "late_exclusive_suppliers", "important_parts", "doc_chunks",
+    "late_exclusive_suppliers_sql", "best_revenue_supplier",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_ivf_hamming_topk", "ann_pq_trained_topk",
     "dedup_embedding_cosine", "multimodal_meta",
     "sequence_packing",
-    "stratified_sample", "decontamination", "top_supplier",
-    "salted_join",
+    "stratified_sample", "decontamination",
     "ann_ivf_topk", "dedup_embedding_clusters", "window_function_gauntlet",
     "explode_variants", "hof_gauntlet", "quality_filter",
     "events_rolling_hour", "similarity_topk_q8",
@@ -4240,6 +4335,7 @@ _TAIL = [
     "top_events_per_user", "pagerank_df_quirk",
     "pagerank_topk", "kmeans_followers",
     "pivot_event_counts", "unpivot_event_counts",
+    "top_supplier", "salted_join",
     "dedup_clusters", "dedup_clusters_star",
     "sentence_stats", "text_normalize",
     "inverted_index", "bm25_topk",

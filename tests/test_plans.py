@@ -229,3 +229,20 @@ def test_doc_chunks_is_shuffle_free_expansion(spark, sf_dir):
     assert "Generate" in plan
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q21_sql_twin_matches_dataframe_twin(spark, sf_dir):
+    """The dialect-portable SQL text and the hand-built DataFrame plan
+    must return identical rows — the semantics-preservation check on
+    Catalyst's EXISTS/NOT-EXISTS decorrelation."""
+    a = {
+        tuple(r)
+        for r in REGISTRY["late_exclusive_suppliers"].spark(spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r)
+        for r in REGISTRY["late_exclusive_suppliers_sql"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert a == b and len(a) > 0
