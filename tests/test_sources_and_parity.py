@@ -205,3 +205,36 @@ def test_asof_join_hand_computed(spark):
     assert got[903] == (200.0, 4)
     assert got[904] == (None, None)
     assert out.count() == trades.count()  # left join: every trade kept
+
+
+def test_observation_metrics_ride_the_pass(spark, sf_dir):
+    """df.observe() — the engine's counter channel (the reference
+    piggybacks Hadoop Counters on the map pass the same way,
+    K-means/.../CountFollowers.java:56-63): row count, sum and
+    conditional count collected DURING a query's one pass, no second
+    scan, values equal to their standalone-aggregate twins."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from mapreducelearnings_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("li_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    )
+    # one action drives the scan; metrics materialize as a side effect
+    out_rows = observed.where(F.col("l_quantity") > 25).count()
+    got = obs.get
+    exact = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    ).collect()[0]
+    assert got["n_rows"] == exact["n_rows"]
+    assert got["sum_qty"] == exact["sum_qty"]
+    assert got["n_returned"] == exact["n_returned"]
+    assert 0 < out_rows < got["n_rows"]
