@@ -102,6 +102,7 @@ HEADLINE = [
     "doc_chunks",
     "late_exclusive_suppliers_sql",
     "best_revenue_supplier",
+    "stream_enriched_totals",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,

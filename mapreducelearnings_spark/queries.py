@@ -1112,6 +1112,33 @@ def q_dedup_stream_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_enriched_totals",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="STREAM-STATIC enrichment join (the ingest-enrichment shape): "
+    "the unbounded event stream joins the bounded customer dim — "
+    "broadcast, so the join itself holds NO streaming state, unlike "
+    "the stream-stream case — then aggregates running per-segment "
+    "totals (complete mode). Drained via availableNow into a memory "
+    "sink and value-checked against the batch join+agg SQL: the "
+    "stream's final totals must equal the batch answer exactly.",
+)
+def q_stream_enriched_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as SW
+
+    SW.run_enriched_totals_to_memory(
+        spark, sf_dir, table_name="enriched_totals_reg"
+    )
+    return spark.table("enriched_totals_reg").select(
+        "segment", "n_events", "total_value"
+    )
+
+
+@register(
     "simhash_fingerprints",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
@@ -4310,12 +4337,13 @@ _CORRECTNESS_WINDOW = [
     "small_quantity_revenue", "market_share",
     "late_exclusive_suppliers", "important_parts", "doc_chunks",
     "late_exclusive_suppliers_sql", "best_revenue_supplier",
+    "stream_enriched_totals",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multi",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_ivf_hamming_topk", "ann_pq_trained_topk",
     "dedup_embedding_cosine", "multimodal_meta",
     "sequence_packing",
-    "stratified_sample", "decontamination",
+    "stratified_sample",
     "ann_ivf_topk", "dedup_embedding_clusters", "window_function_gauntlet",
     "explode_variants", "hof_gauntlet", "quality_filter",
     "events_rolling_hour", "similarity_topk_q8",
@@ -4335,7 +4363,7 @@ _TAIL = [
     "top_events_per_user", "pagerank_df_quirk",
     "pagerank_topk", "kmeans_followers",
     "pivot_event_counts", "unpivot_event_counts",
-    "top_supplier", "salted_join",
+    "top_supplier", "salted_join", "decontamination",
     "dedup_clusters", "dedup_clusters_star",
     "sentence_stats", "text_normalize",
     "inverted_index", "bm25_topk",

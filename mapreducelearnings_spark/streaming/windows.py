@@ -494,3 +494,42 @@ def run_stateful_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join + aggregation: the unbounded event
+    stream joins the bounded customer dim (broadcast — the dim rides to
+    every task once per micro-batch, no stream-side state for the join,
+    unlike the stream-stream case), then aggregates per segment. The
+    canonical ingest-enrichment shape: at 100 TB/day the dim is a
+    slowly-changing broadcast and the only streaming state is the
+    running aggregate itself."""
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+    return (
+        events.join(dim, events["user_id"] == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def run_enriched_totals_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "enriched_totals"
+) -> None:
+    """Drain the bounded events source through the stream-static join
+    into a complete-mode memory sink (availableNow backfill)."""
+    from ..catalog import load_table
+
+    agg = enriched_segment_totals(
+        stream_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -305,3 +305,32 @@ def test_transform_with_state_gated_on_protobuf():
         "protobuf is now available: port running_user_totals_stream to "
         "transformWithStateInPandas (ValueState + RocksDB provider)"
     )
+
+
+def test_stream_static_join_needs_no_join_state(spark, sf_dir):
+    """The stream-static enrichment join must plan the dim as a
+    broadcast build side (no state store for the join itself) and its
+    drained totals must equal the batch twin exactly."""
+    from pyspark.sql import functions as F
+
+    from mapreducelearnings_spark.catalog import load_table
+    from mapreducelearnings_spark.streaming import windows as SW
+
+    SW.run_enriched_totals_to_memory(spark, sf_dir, table_name="t_enriched")
+    got = {
+        (r["segment"], r["n_events"], r["total_value"])
+        for r in spark.table("t_enriched").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    want = {
+        (r["segment"], r["n_events"], r["total_value"])
+        for r in ev.join(c, ev["user_id"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
