@@ -111,6 +111,7 @@ HEADLINE = [
     "similarity_topk",
     "ann_lsh_topk_single_baseline",
     "ann_lsh_topk_multi",
+    "ann_lsh_topk_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_hamming_topk",
@@ -150,6 +151,9 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_lsh_topk_multi": recall(
             SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
+        ),
+        "ann_lsh_topk_multiprobe": recall(
+            SS.lsh_ann_topk_multiprobe(emb, n_queries=8, k=5).collect()
         ),
         "ann_ivf_topk": recall(SS.ivf_topk(emb, n_queries=8, k=5).collect()),
         "ann_ivf_trained_topk": recall(

@@ -1372,3 +1372,87 @@ def ann_index_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def lsh_ann_topk_multiprobe(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = MULTI_PLANES,
+) -> DataFrame:
+    """MULTI-PROBE multi-table ANN (Lv et al., VLDB'07): each query
+    probes its home bucket in every table PLUS the bucket reached by
+    flipping the sign bit with the smallest |margin| — the hyperplane
+    the query sits closest to, hence the perturbation most likely to
+    hold its missed neighbors. Trades extra probes for extra tables:
+    2L probes from L tables approach the recall of 2L tables at HALF
+    the index memory/ingest cost — the standard knob when the table
+    count (storage) is the binding constraint, not query fan-out.
+
+    Corpus side is untouched (same tagged (vec_id, t, b) index as
+    :func:`lsh_ann_topk_multi`); only the tiny query side computes
+    margins, so the plan stays an equi-join on (t, b) with ids-only
+    amplification. Probe buckets are derived from the same bit-exact
+    dot folds as the bucket bits, so the candidate set — and therefore
+    the approximate result — is fully oracle-checkable."""
+    wide = _emb_wide(embeddings)
+    emb = _emb_normed(embeddings)
+    tagged = _multi_table_tagged_ids(emb, n_tables, planes_per_table)
+    qn = emb.where(F.col("vec_id") < n_queries)
+    probe_structs = []
+    for t in range(n_tables):
+        planes = hyperplanes_table(t, planes_per_table)
+        margins, bits = [], []
+        for p, row in enumerate(planes):
+            plane_lit = F.array(*[F.lit(x) for x in row])
+            d = V.dot(F.col("ne"), plane_lit)
+            margins.append(F.abs(d))
+            bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        b = bits[0]
+        for x in bits[1:]:
+            b = b + x
+        b = b.cast("long")
+        absm = F.array(*margins)
+        # 1-based index of the FIRST minimum — ties to the smallest p,
+        # matching the oracle's ROW_NUMBER(ABS(d) ASC, p ASC)
+        amin = F.array_position(absm, F.array_min(absm))
+        flip = F.pow(F.lit(2.0), (amin - 1).cast("double")).cast("long")
+        probe_structs.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
+        probe_structs.append(
+            F.struct(F.lit(t).alias("t"), b.bitwiseXOR(flip).alias("b"))
+        )
+    probes = (
+        qn.select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.array(*probe_structs)).alias("tb"),
+        )
+        .select("query_id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+        .distinct()
+    )
+    cand = (
+        tagged.join(F.broadcast(probes), ["t", "b"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    scored = (
+        cand.join(_rename_wide(wide, "query_id", "q"), "query_id")
+        .join(_rename_wide(wide, "neighbor_id", "c"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot_wide("q", "c"), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -117,6 +117,21 @@ def test_multi_table_ann_recall_geq_single_table(spark, sf_dir):
     assert multi >= max(single, 0.5), (multi, single)
 
 
+def test_multiprobe_ann_recall_geq_single_probe(spark, sf_dir):
+    """Multi-probe (home bucket + lowest-margin flip per table) can only
+    ADD candidates over the single-probe multi-table path, so its
+    recall@5 must dominate — and its candidate set must be a superset."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
+    single = _recall_at_k(
+        truth, SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
+    )
+    multip = _recall_at_k(
+        truth, SS.lsh_ann_topk_multiprobe(emb, n_queries=8, k=5).collect()
+    )
+    assert multip >= single, (multip, single)
+
+
 def test_quality_filter_is_conjunction_of_stats(spark, sf_dir):
     """quality_filter's single-scan output must equal filtering the
     text_stats ⋈ lang_id composition row-for-row (same formulas, one
