@@ -103,6 +103,7 @@ HEADLINE = [
     "late_exclusive_suppliers_sql",
     "best_revenue_supplier",
     "stream_enriched_totals",
+    "events_props_variant",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,

@@ -2903,6 +2903,34 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_props_variant",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k_value,
+           props->>'k' AS k_str,
+           CAST(props->>'missing' AS BIGINT) AS k_missing
+    FROM events
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): props parsed ONCE into "
+    "a variant value, fields extracted with typed try_variant_get — "
+    "the open-schema ingestion shape that replaces per-field "
+    "get_json_object re-parsing (each of which re-reads the string; "
+    "variant parses once into a binary-encoded tree). Missing paths "
+    "yield NULL, matching the oracle's ->> semantics. Twin of "
+    "events_props_json: same answers, modern engine path.",
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k_value"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "long").alias("k_missing"),
+    )
+
+
 # ===========================================================================
 # Standard PageRank + rollup + percentiles
 # ===========================================================================
@@ -4389,11 +4417,11 @@ _CORRECTNESS_WINDOW = [
     "small_quantity_revenue", "market_share",
     "late_exclusive_suppliers", "important_parts", "doc_chunks",
     "late_exclusive_suppliers_sql", "best_revenue_supplier",
-    "stream_enriched_totals",
+    "stream_enriched_totals", "events_props_variant",
     "ann_lsh_topk_single_baseline", "ann_lsh_topk_multiprobe",
     "ann_ivf_trained_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_ivf_hamming_topk", "ann_pq_trained_topk",
-    "dedup_embedding_cosine", "multimodal_meta",
+    "dedup_embedding_cosine",
     "sequence_packing",
     "stratified_sample",
     "ann_ivf_topk", "dedup_embedding_clusters", "window_function_gauntlet",
@@ -4416,7 +4444,7 @@ _TAIL = [
     "pagerank_topk", "kmeans_followers",
     "pivot_event_counts", "unpivot_event_counts",
     "top_supplier", "salted_join", "decontamination",
-    "ann_lsh_topk_multi",
+    "ann_lsh_topk_multi", "multimodal_meta",
     "dedup_clusters", "dedup_clusters_star",
     "sentence_stats", "text_normalize",
     "inverted_index", "bm25_topk",
