@@ -104,6 +104,12 @@ HEADLINE = [
     "best_revenue_supplier",
     "stream_enriched_totals",
     "events_props_variant",
+    # second round-5 batch: remaining TPC-H shapes + repeated-span dedup
+    "nation_profit",
+    "shipmode_priority",
+    "parts_supplier_counts",
+    "excess_shippers",
+    "repeated_ngrams",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,
