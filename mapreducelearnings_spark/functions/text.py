@@ -90,7 +90,17 @@ def minhash_value(base_hash: Column, perm: int) -> Column:
 
 def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array (empty when the
-    document has fewer than n tokens)."""
+    document has fewer than n tokens).
+
+    CALLER CONTRACT: pass a pre-projected COLUMN REFERENCE (project
+    ``tokens(...)`` with its own alias in a prior select), never the
+    ``tokens(...)`` expression inline. The lambda below references the
+    array ~n+2 times via element_at; handing it a non-trivial
+    expression lets the planner evaluate that expression once PER
+    REFERENCE (an inline ``tokens()`` regexp re-ran per element —
+    measured 20 s vs 0.8 s on the sf0.1 corpus). A bare column
+    reference is free to repeat; every call site in this repo follows
+    the two-select shape."""
     joined = F.transform(
         F.sequence(F.lit(0), F.size(tokens_col) - n),
         lambda i: F.concat_ws(
