@@ -533,3 +533,50 @@ def run_enriched_totals_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """The shared batch/streaming session aggregation: per-user
+    inactivity-gap sessions with event counts and value sums — the same
+    output columns as the registered batch ``session_windows`` query.
+    Works unchanged on a batch frame or a watermarked stream;
+    F.session_window keeps one open-session state row per active user
+    under streaming, merged/closed as the watermark advances."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_windows_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "session_events",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> None:
+    """Drain the bounded events source through the STREAMING session
+    window (availableNow, append mode). Append emits a session exactly
+    once, when the watermark passes its end — so the drained table holds
+    precisely the sessions that CLOSED before the terminal watermark
+    (max event time − watermark); per-user sessions still open at end of
+    input stay in state and are never emitted. The stream≡batch contract
+    test mirrors that closure predicate on the batch twin."""
+    agg = session_counts(stream_events(spark, sf_dir, watermark=watermark), gap)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

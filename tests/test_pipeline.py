@@ -712,3 +712,40 @@ def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters" in plan
     assert "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_streaming_session_windows_match_closed_batch_sessions(spark, sf_dir):
+    """STREAMING session windows (append mode): the drained availableNow
+    result must be exactly the batch sessions that CLOSED before the
+    terminal watermark (session end = last event + gap; watermark = max
+    event time − delay). Sessions still open at end of input stay in
+    state and must NOT be emitted — subset-and-closure, checked exactly
+    on this bounded fixture."""
+    SW.run_session_windows_stream_to_memory(spark, sf_dir, table_name="t_sess")
+    stream_rows = {tuple(r) for r in spark.sql("SELECT * FROM t_sess").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    wm_epoch = int((max_ts - datetime.timedelta(minutes=30)).timestamp())
+    rows = batch.collect()
+    key = lambda r: (r.user_id, r.session_start, r.n_events, r.sum_value)
+    all_rows = {key(r) for r in rows}
+    closed_rows = {key(r) for r in rows if r.session_end <= wm_epoch}
+    assert stream_rows, "stream emitted nothing"
+    assert stream_rows <= all_rows, "stream emitted a session batch lacks"
+    assert stream_rows == closed_rows
