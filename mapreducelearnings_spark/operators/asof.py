@@ -74,3 +74,88 @@ def asof_join(
         *lcols, *[F.col("__m")[c].alias(c) for c in right_payload]
     )
     return out
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tiebreak: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Physical TWIN of :func:`asof_join` on the cogroup-applyInPandas
+    surface (SURVEY.md §2.9): both sides hash-shuffle on the key, each
+    key's two row groups meet in ONE Arrow-batched pandas callback, and
+    ``pd.merge_asof`` does the per-key backward match. Same contract as
+    the union+window operator — latest right row with ts ≤ left ts,
+    equal-ts ties broken by highest ``tiebreak`` — so the two plans are
+    interchangeable and are agreement-tested against each other.
+
+    Same single-shuffle cost shape as the union+window path; the
+    difference is where the work lands (JVM window codegen vs Arrow
+    transfer + pandas C merge). Exists to prove the cogroup surface on
+    a real operator, not as the preferred plan: the union+window twin
+    stays entirely JVM-side.
+
+    ``num_partitions`` (default 2× the cluster's default parallelism)
+    pins the cogroup stage width with an EXPLICIT repartition on the
+    key, which AQE honors: left alone, AQE's byte-based partition
+    coalescing sees a few MB of shuffle and folds a pandas stage whose
+    cost is per GROUP (Arrow round-trip ≈ tens of ms each) down to a
+    handful of tasks — measured 35 s → 13 s at sf0.1 just from
+    restoring the stage width (PERFORMANCE.md lesson 16).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    lfields = [left.schema[c] for c in left.columns]
+    rschema = right.schema
+    pfields = [
+        T.StructField(c, rschema[c].dataType, True) for c in right_payload
+    ]
+    out_schema = T.StructType(lfields + pfields)
+    lcols = list(left.columns)
+    # pandas dtype that survives Arrow conversion for NULLable matches
+    _nullable = {
+        T.LongType(): "Int64",
+        T.IntegerType(): "Int32",
+    }
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        # sort right by (ts, tiebreak): merge_asof takes the LAST row at
+        # or before the left ts, so ascending tiebreak = highest wins —
+        # the same tie order as the window twin's forward fill.
+        rsel = rpdf[[right_ts, tiebreak] + [
+            c for c in right_payload if c not in (right_ts, tiebreak)
+        ]].sort_values([right_ts, tiebreak], kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rsel,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        # .copy() so the dtype fix below is a plain column write, not a
+        # chained assignment (pandas' SettingWithCopy detection walks gc
+        # referrers PER CALL — measurable at one callback per group).
+        out = merged[lcols + right_payload].copy()
+        for f in pfields:
+            pd_t = _nullable.get(f.dataType)
+            if pd_t is not None:
+                out[f.name] = out[f.name].astype(pd_t)
+        return out
+
+    if num_partitions is None:
+        num_partitions = 2 * left.sparkSession.sparkContext.defaultParallelism
+    left = left.repartition(num_partitions, key)
+    right = right.repartition(num_partitions, key)
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, out_schema)
+    )

@@ -238,3 +238,39 @@ def test_observation_metrics_ride_the_pass(spark, sf_dir):
     assert got["sum_qty"] == exact["sum_qty"]
     assert got["n_returned"] == exact["n_returned"]
     assert 0 < out_rows < got["n_rows"]
+
+
+def test_asof_join_cogroup_agrees_with_window_twin(spark, sf_dir):
+    """The cogroup-applyInPandas as-of twin must agree with the
+    union+window operator on BOTH the hand-built edge-case fixture
+    (NULL-fill, equal-ts tiebreak, right-less keys) and the real
+    events⋈orders query shape — the two physical strategies are
+    interchangeable by contract."""
+    from mapreducelearnings_spark.operators.asof import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 100.0, 1), (1, 10, 101.0, 2), (1, 20, 102.0, 3),
+         (2, 15, 200.0, 4)],
+        "k: long, t: long, px: double, qid: long",
+    )
+    trades = spark.createDataFrame(
+        [(1, 5, 900), (1, 10, 901), (1, 25, 902), (2, 15, 903),
+         (3, 50, 904)],
+        "k: long, t: long, trade_id: int",
+    )
+    args = dict(key="k", left_ts="t", right_ts="t",
+                right_payload=["px", "qid"], tiebreak="qid")
+    w = {tuple(r) for r in asof_join(trades, quotes, **args).collect()}
+    c = {tuple(r) for r in asof_join_cogroup(trades, quotes, **args).collect()}
+    assert c == w
+
+    from mapreducelearnings_spark.queries import REGISTRY
+
+    w2 = {tuple(r) for r in
+          REGISTRY["asof_latest_order"].spark(spark, sf_dir).collect()}
+    c2 = {tuple(r) for r in
+          REGISTRY["asof_latest_order_cogroup"].spark(spark, sf_dir).collect()}
+    assert c2 == w2
