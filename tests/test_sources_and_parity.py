@@ -274,3 +274,67 @@ def test_asof_join_cogroup_agrees_with_window_twin(spark, sf_dir):
     c2 = {tuple(r) for r in
           REGISTRY["asof_latest_order_cogroup"].spark(spark, sf_dir).collect()}
     assert c2 == w2
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    """JSONL sink/scan with a REQUIRED schema (same contract as the CSV
+    reader: no inference pass)."""
+    from mapreducelearnings_spark.sources import io as IO
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)],
+        "id: long, tag: string, val: double",
+    )
+    path = str(tmp_path / "rows.jsonl")
+    df.write.mode("overwrite").json(path)
+    back = IO.read_json(spark, path, "id long, tag string, val double")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_python_datasource_chain_edges_matches_generator(spark):
+    """The chain_edges Python Data Source (Spark 4 connector API) must
+    produce exactly the operators/graph.chain_graph edge set, arrive as
+    Arrow batches across several partitions, and push src-range
+    predicates into partition planning (a narrowed read plans FEWER
+    partitions — generate-only-what's-asked, the same contract as
+    parquet's PushedFilters)."""
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from mapreducelearnings_spark.operators.graph import chain_graph
+    from mapreducelearnings_spark.sources.pydatasource import (
+        ChainEdgesReader,
+        register_chain_edges,
+    )
+
+    register_chain_edges(spark)
+    got = spark.read.format("chain_edges").option("k", "10").load()
+    expect, _ = chain_graph(spark, 10)
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
+
+    # filtered read stays correct through the pushdown path
+    filtered = {
+        tuple(r)
+        for r in spark.read.format("chain_edges")
+        .option("k", "10")
+        .load()
+        .where("src > 20 AND src <= 40")
+        .collect()
+    }
+    assert filtered == {
+        tuple(r) for r in expect.where("src > 20 AND src <= 40").collect()
+    }
+
+    # unit-level: consumed range filters narrow partition planning
+    full = ChainEdgesReader({"k": "10", "partitions": "8"})
+    assert len(full.partitions()) == 8
+    narrowed = ChainEdgesReader({"k": "10", "partitions": "8"})
+    leftover = list(
+        narrowed.pushFilters(
+            [GreaterThan(("src",), 20), LessThanOrEqual(("src",), 40)]
+        )
+    )
+    assert leftover == []  # both consumed exactly
+    assert (narrowed.lo, narrowed.hi) == (21, 40)
+    assert len(narrowed.partitions()) < 8
