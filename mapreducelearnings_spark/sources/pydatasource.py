@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -108,6 +109,9 @@ class ChainEdgesDataSource(DataSource):
     def reader(self, schema) -> ChainEdgesReader:
         return ChainEdgesReader(self.options)
 
+    def streamReader(self, schema) -> "ChainEdgesStreamReader":
+        return ChainEdgesStreamReader(self.options)
+
 
 def register_chain_edges(spark) -> None:
     """Idempotent registration of the connector on a session. Python
@@ -115,3 +119,52 @@ def register_chain_edges(spark) -> None:
     implements pushFilters, so enable it (runtime-settable)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChainEdgesDataSource)
+
+
+class ChainEdgesStreamReader(DataSourceStreamReader):
+    """Micro-batch STREAM variant of the connector: the offset is the
+    next src id to emit ({"pos": n}), each batch advances it by
+    ``rows_per_batch`` until the k² cap, and every batch's range is
+    split into ``partitions`` executor-side Arrow reads — the full
+    partition-planned DataSourceStreamReader, not the driver-side
+    Simple reader (generation must scale with the cluster, not the
+    driver). Offsets are exactly replayable: partitions(start, end) is
+    a pure function of the offsets, so checkpoint recovery re-plans the
+    identical batch."""
+
+    def __init__(self, options):
+        self.k = int(options.get("k", "100"))
+        self.n_parts = int(options.get("partitions", "4"))
+        self.rows_per_batch = int(options.get("rows_per_batch", "50"))
+        self.cap = self.k * self.k + 1  # exclusive end of src ids
+
+    def initialOffset(self) -> dict:
+        return {"pos": 1}
+
+    def latestOffset(self) -> dict:
+        # driver-side bookkeeping only: advance the high-water mark one
+        # batch quantum, clamped to the finite corpus cap
+        cur = getattr(self, "_pos", 1)
+        nxt = min(cur + self.rows_per_batch, self.cap)
+        self._pos = nxt
+        return {"pos": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        if hi <= lo:
+            return []
+        width = -(-(hi - lo) // self.n_parts)
+        return [SrcRange(s, min(s + width, hi)) for s in range(lo, hi, width)]
+
+    def read(self, partition: SrcRange):
+        import numpy as np
+        import pyarrow as pa
+
+        src = np.arange(partition.start, partition.end, dtype=np.int64)
+        dst = np.where(src % self.k == 0, np.int64(0), src + 1)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(src), pa.array(dst)], names=["src", "dst"]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to clean up; offsets live in the checkpoint

@@ -338,3 +338,35 @@ def test_python_datasource_chain_edges_matches_generator(spark):
     assert leftover == []  # both consumed exactly
     assert (narrowed.lo, narrowed.hi) == (21, 40)
     assert len(narrowed.partitions()) < 8
+
+
+def test_python_datasource_stream_reader_drains_full_graph(spark, tmp_path):
+    """Streaming variant of the connector (DataSourceStreamReader):
+    micro-batches advance the offset by rows_per_batch until the k² cap;
+    the drained append-mode result must be exactly the full edge set,
+    each edge exactly once (offset ranges partition the id space)."""
+    from mapreducelearnings_spark.operators.graph import chain_graph
+    from mapreducelearnings_spark.sources.pydatasource import (
+        register_chain_edges,
+    )
+
+    register_chain_edges(spark)
+    src = (
+        spark.readStream.format("chain_edges")
+        .option("k", "10")
+        .option("rows_per_batch", "30")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("t_chain_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM t_chain_stream").collect()
+    expect, _ = chain_graph(spark, 10)
+    assert len(rows) == 100  # exactly-once: no range replayed
+    assert {tuple(r) for r in rows} == {tuple(r) for r in expect.collect()}
