@@ -4698,6 +4698,76 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_lm_scores",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+    bg AS (SELECT doc_id,
+           unnest(list_transform(range(1, GREATEST(len(ts), 1)),
+                  i -> ts[i] || ' ' || ts[i+1])) AS bigram
+           FROM toks WHERE len(ts) >= 2),
+    cnt AS (SELECT bigram, COUNT(*) AS c_bg,
+            split_part(bigram, ' ', 1) AS w1
+            FROM bg GROUP BY bigram),
+    pre AS (SELECT w1, SUM(c_bg) AS c_w1 FROM cnt GROUP BY w1),
+    prob AS (SELECT cnt.bigram,
+             ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1), 6) AS lp
+             FROM cnt JOIN pre ON cnt.w1 = pre.w1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 4) AS avg_logprob
+    FROM bg JOIN prob ON bg.bigram = prob.bigram
+    GROUP BY bg.doc_id
+    """,
+    doc="Language-model quality scoring — the perplexity-style curation "
+    "signal: each document scored by the mean log-probability of its "
+    "bigrams under the corpus's OWN bigram model (P(w2|w1) = "
+    "c(w1 w2)/c(w1 ·); self-estimation means no unseen bigrams, so no "
+    "smoothing term). Word-salad text scores low, repetitive text "
+    "scores high — the complement of repetition_stats. Shape: one "
+    "bigram explode reused for both the model estimate and the "
+    "per-doc probe, two partial-agg groupBys for the counts, one "
+    "equi-join back, one per-doc aggregate. Per-bigram log-probs are "
+    "quantized to 6 dp before averaging and the average to 4 dp "
+    "(summation-order rule); the count ratio itself is exact on both "
+    "engines. At 100 TB the model side is the (pruned) bigram table "
+    "this pipeline already maintains for BPE.",
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens("text").alias("ts")).where(
+        F.size("ts") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    cnt = cnt.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    pre = cnt.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    prob = cnt.join(pre, "w1").select(
+        "bigram",
+        F.round(
+            F.log(F.col("c_bg").cast("double") / F.col("c_w1")), 6
+        ).alias("lp"),
+    )
+    return (
+        bg.join(prob, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -4756,12 +4826,11 @@ _CORRECTNESS_WINDOW = [
     "stratified_sample",
     "ann_ivf_topk", "dedup_embedding_clusters",
     "hof_gauntlet", "quality_filter",
-    "similarity_topk_q8",
     "corpus_curation",
     # batch-3 additions (no driver row yet); they displace
-    # window_function_gauntlet + events_rolling_hour (r04-green,
-    # unchanged this round → tail).
-    "asof_latest_order_cogroup", "bigram_counts",
+    # window_function_gauntlet + events_rolling_hour +
+    # similarity_topk_q8 (r04-green, unchanged this round → tail).
+    "asof_latest_order_cogroup", "bigram_counts", "bigram_lm_scores",
     # second round-5 batch (no driver row yet): the remaining TPC-H
     # shapes (Q9/Q12/Q16/Q20 adaptations) and the Lee-et-al
     # repeated-span detector. They displace five r04-green entries
@@ -4782,6 +4851,7 @@ _TAIL = [
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",
+    "similarity_topk_q8",
     "dedup_ngram_jaccard", "token_counts_bpe",
     "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
     "distinct_users_per_type", "sliding_windows",
