@@ -110,6 +110,10 @@ HEADLINE = [
     "parts_supplier_counts",
     "excess_shippers",
     "repeated_ngrams",
+    # round-5 batch 4: range join, quota curation, z-order layout keys
+    "incident_event_counts",
+    "source_quota_sample",
+    "zorder_values",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,
@@ -129,6 +133,7 @@ HEADLINE = [
     "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
+    "semdedup_keep",
 ]
 
 

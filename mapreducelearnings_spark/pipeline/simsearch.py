@@ -1456,3 +1456,51 @@ def lsh_ann_topk_multiprobe(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = IVF_CELLS,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by
+    clustering embeddings and dropping, within each cluster, every
+    vector whose cosine to a LOWER-id cluster-mate meets ``threshold``
+    (keep-min policy — deterministic, no RNG).
+
+    Returns (vec_id, cell, keep): the full corpus annotated with its
+    cluster id and the keep/drop decision, so downstream curation can
+    either filter ``keep`` or inspect the drop rate per cell.
+
+    Scale shape: the quadratic compare is confined WITHIN clusters — the
+    pair generator is an equi-join on ``cell``, never a corpus n².
+    At 100 TB you raise ``n_cells`` ~ sqrt(N) (the paper uses 50k
+    clusters for 5B images) so cells stay bounded, and the assignment
+    is the same broadcast-centroid map-side argmax the IVF index uses —
+    cluster once at ingest, reuse for both search and dedup."""
+    assigned = ivf_assign(embeddings, n_cells)
+    left = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("ne").alias("a_ne"),
+    )
+    right = assigned.select("cell", "vec_id", F.col("ne").alias("b_ne"))
+    drops = (
+        left.join(right, "cell")
+        .where(F.col("a_id") < F.col("vec_id"))
+        .where(F.round(V.dot(F.col("a_ne"), F.col("b_ne")), 4) >= threshold)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )

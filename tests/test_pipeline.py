@@ -749,3 +749,90 @@ def test_streaming_session_windows_match_closed_batch_sessions(spark, sf_dir):
     assert stream_rows, "stream emitted nothing"
     assert stream_rows <= all_rows, "stream emitted a session batch lacks"
     assert stream_rows == closed_rows
+
+
+def test_banded_interval_join_matches_brute_force(spark):
+    """Hand fixture where band width does NOT divide interval lengths:
+    banding + refine must equal the brute-force inequality join."""
+    from mapreducelearnings_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(i, x) for i, x in enumerate([0, 5, 6, 9, 10, 13, 14, 99, 100])],
+        "pid long, x long",
+    )
+    intervals = spark.createDataFrame(
+        [(0, 0, 10), (1, 5, 6), (2, 90, 120), (3, 13, 14)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in banded_interval_join(
+            points, intervals, "x", "lo", "hi", band=7
+        ).collect()
+    )
+    brute = sorted(
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .where("x >= lo AND x < hi")
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_semdedup_drop_decisions_match_ground_truth(spark, sf_dir):
+    """Every dropped vector has a lower-id same-cell mate at cosine >=
+    threshold; every kept vector has none (checked against exact numpy
+    cosines, with an epsilon guard around the rounded threshold)."""
+    import numpy as np
+
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in SS.semdedup(emb).collect()
+    }
+    pdf = emb.toPandas().sort_values("vec_id")
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    assert set(ids) == set(res)  # full corpus annotated
+
+    tau = SS.SEMDEDUP_THRESHOLD
+    by_cell: dict[int, list[int]] = {}
+    for vid in ids:
+        by_cell.setdefault(res[vid][0], []).append(vid)
+    n_dropped = 0
+    for vid in ids:
+        cell, keep = res[vid]
+        mates = [m for m in by_cell[cell] if m < vid]
+        best = max(
+            (float(vecs[m] @ vecs[vid]) for m in mates), default=-1.0
+        )
+        if keep:
+            assert best < tau + 1e-6, (vid, best)
+        else:
+            n_dropped += 1
+            assert best >= tau - 1e-6, (vid, best)
+    assert n_dropped > 0  # the threshold actually bites on this corpus
+
+
+def test_source_quota_keeps_top_quality_per_source(spark, sf_dir, duck):
+    from mapreducelearnings_spark.queries import REGISTRY
+
+    rows = REGISTRY["source_quota_sample"].spark(spark, sf_dir).collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r["source"], []).append(r)
+    totals = dict(
+        duck.execute(
+            "SELECT source, COUNT(*) FROM documents GROUP BY source"
+        ).fetchall()
+    )
+    for src, picked in per_src.items():
+        assert len(picked) == min(10, totals[src])
+        ranks = sorted(p["pick_rank"] for p in picked)
+        assert ranks == list(range(1, len(picked) + 1))
+    assert set(per_src) == set(totals)

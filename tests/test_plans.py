@@ -246,3 +246,79 @@ def test_q21_sql_twin_matches_dataframe_twin(spark, sf_dir):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_incident_range_join_avoids_nested_loop(spark, sf_dir):
+    """A pure-inequality join would plan as BroadcastNestedLoopJoin
+    (O(n*m), broadcast OOM at scale); the banded interval join must
+    plan as an ordinary equi-join on the band key."""
+    plan = plan_of(spark, sf_dir, "incident_event_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
+    """Slice the table into 16 'files' by zval order; a predicate over
+    1/4 of EITHER dimension's range must touch a bounded subset of the
+    files, while a user_id-sorted layout cannot prune the time
+    predicate at all (every file spans the full time range)."""
+    from mapreducelearnings_spark.queries import REGISTRY
+
+    z = REGISTRY["zorder_values"].spark(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "user_id",
+        "unix_micros(ts::timestamp) div 60000000 as mins",
+    )
+    rows = [
+        (r["zval"], r["user_id"], r["mins"])
+        for r in z.join(ev, "event_id").collect()
+    ]
+    n_files = 16
+
+    def files_by(key_idx):
+        ordered = sorted(rows, key=lambda r: r[key_idx])
+        chunk = -(-len(ordered) // n_files)
+        out = []
+        for i in range(0, len(ordered), chunk):
+            part = ordered[i : i + chunk]
+            out.append(
+                {
+                    "umin": min(p[1] for p in part),
+                    "umax": max(p[1] for p in part),
+                    "tmin": min(p[2] for p in part),
+                    "tmax": max(p[2] for p in part),
+                }
+            )
+        return out
+
+    def overlaps(files, dim, lo, hi):
+        return sum(
+            1
+            for f in files
+            if not (f[f"{dim}max"] < lo or f[f"{dim}min"] > hi)
+        )
+
+    ulo = min(r[1] for r in rows)
+    uhi = max(r[1] for r in rows)
+    tlo = min(r[2] for r in rows)
+    thi = max(r[2] for r in rows)
+    uq = (ulo, ulo + (uhi - ulo) // 4)  # first quarter of user range
+    tq = (tlo, tlo + (thi - tlo) // 4)  # first quarter of time range
+
+    zfiles = files_by(0)
+    ufiles = files_by(1)
+    # z-order: BOTH dimensions prune (theoretical 4-6 of 16 cells for a
+    # quarter-range; allow boundary slack to 8)
+    assert overlaps(zfiles, "u", *uq) <= 8
+    assert overlaps(zfiles, "t", *tq) <= 8
+    # single-column sort: its own column prunes perfectly...
+    assert overlaps(ufiles, "u", *uq) <= 6
+    # ...but the orthogonal (time) predicate touches essentially every
+    # file — the failure mode z-order exists to fix
+    assert overlaps(ufiles, "t", *tq) >= n_files - 1
