@@ -53,6 +53,8 @@ HEAVY = [
     "ann_pq_adc_topk",
     "ann_ivf_hamming_topk",
     "ann_ivf_pq_topk",
+    "semdedup_keep",
+    "incident_event_counts",
 ]
 
 
@@ -110,9 +112,32 @@ def gen_embeddings(n_vecs: int, dims: int = 64, seed: int = 47) -> pa.Table:
     )
 
 
+def gen_events_scaled(mult: int) -> pa.Table:
+    """events at mult× rows: the base table time-shifted by its full
+    span per copy (ids offset to stay unique) — per-window density
+    stays constant, so the incident interval join's work grows
+    LINEARLY (mult× incidents, mult× events, mult× pairs), the honest
+    scale-up for a time-banded operator."""
+    base = pq.read_table(os.path.join(BASE_SF, "events.parquet"))
+    n = base.num_rows
+    ts = base.column("ts").to_pandas()
+    span = (ts.max() - ts.min()).to_timedelta64() + np.timedelta64(1, "h")
+    copies = []
+    for k in range(mult):
+        t = base.to_pandas()
+        t["event_id"] = t["event_id"] + k * n
+        t["ts"] = t["ts"] + k * span
+        copies.append(t)
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.concat(copies, ignore_index=True), preserve_index=False
+    )
+
+
 def build_scaled_dir(out_dir: str, mult: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    for t in "region nation customer supplier part orders lineitem events".split():
+    for t in "region nation customer supplier part orders lineitem".split():
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(dst):
             shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), dst)
@@ -120,6 +145,7 @@ def build_scaled_dir(out_dir: str, mult: int) -> None:
     n_vecs = 2000 * mult
     pq.write_table(gen_documents(n_docs), os.path.join(out_dir, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs), os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(gen_events_scaled(mult), os.path.join(out_dir, "events.parquet"))
 
 
 def main() -> None:
