@@ -110,10 +110,13 @@ HEADLINE = [
     "parts_supplier_counts",
     "excess_shippers",
     "repeated_ngrams",
-    # round-5 batch 4: range join, quota curation, z-order layout keys
+    # round-5 batch 4-6: range join, quota curation, z-order layout
+    # keys, null-safe join, incremental aggregate maintenance
     "incident_event_counts",
     "source_quota_sample",
     "zorder_values",
+    "null_safe_join",
+    "incremental_merge_counts",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,

@@ -5,6 +5,8 @@ appear in the plans. These guard the 100 TB story, not just correctness.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mapreducelearnings_spark.queries import REGISTRY
 
 
@@ -322,3 +324,44 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir):
     # ...but the orthogonal (time) predicate touches essentially every
     # file — the failure mode z-order exists to fix
     assert overlaps(ufiles, "t", *tq) >= n_files - 1
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """eqNullSafe is still an equi-predicate: the plan must be a hash
+    join (broadcast here), never a nested loop."""
+    plan = plan_of(spark, sf_dir, "null_safe_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """DPP: joining a Hive-partitioned fact to a FILTERED dim must
+    inject a runtime subquery filter on the fact's partition column
+    (dynamicpruning in the scan), so only the surviving partitions'
+    directories are read — the 100 TB star-join read path."""
+    from mapreducelearnings_spark.sources.io import write_partitioned
+
+    fact_path = str(tmp_path / "events_by_type")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    write_partitioned(ev, fact_path, ["event_type"])
+    fact = spark.read.parquet(fact_path)
+    # the dim filter is on a NON-key attribute, so the surviving key set
+    # is only known at runtime — static constraint propagation can't
+    # pre-prune, which is exactly when DPP must kick in
+    dim = spark.createDataFrame(
+        [
+            ("click", "interactive"),
+            ("view", "interactive"),
+            ("error", "ops"),
+            ("purchase", "revenue"),
+            ("signup", "revenue"),
+        ],
+        "event_type string, team string",
+    )
+    joined = fact.join(
+        dim.where(F.col("team") == "ops"), "event_type"
+    ).groupBy("event_type").count()
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
