@@ -65,19 +65,25 @@ def stream_events(
     sf_dir: str,
     watermark: str = "30 minutes",
     glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events parquet with event-time
     watermarking. Late rows beyond the watermark are dropped; state for
     closed windows is evicted — the property that keeps a 100 TB/day
     stream's state bounded. ``glob`` widens the watched set (e.g.
-    ``*.parquet`` for an ingest dir that accretes files)."""
+    ``*.parquet`` for an ingest dir that accretes files);
+    ``max_files_per_trigger`` caps each microbatch (a SOURCE option —
+    also honored by availableNow drains), the knob that makes multi-
+    batch watermark behavior testable and backfills incremental."""
     # file stream sources take a directory; glob-filter to the events file
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(sf_dir)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(sf_dir)
     # ts is long MICROseconds on the streaming path (see EVENTS_RAW_SCHEMA
     # note) — no div 1000 here, unlike catalog.load_table's batch recipe.
     events = raw.withColumn("ts", F.timestamp_micros(F.col("ts")))

@@ -334,3 +334,104 @@ def test_stream_static_join_needs_no_join_state(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """The watermark CONTRACT, not just the API: an event arriving in a
+    later microbatch with event-time older than (max seen − delay) must
+    be DROPPED from the aggregation, while an in-horizon event in the
+    same batch lands normally. This is the bounded-state guarantee — at
+    100 TB/day the watermark is the only thing keeping window state
+    finite, so the drop behavior must be proven, not assumed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from mapreducelearnings_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        stream_events,
+        windowed_counts,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base_us = 1_700_000_000 * 1_000_000  # event-time anchor, microseconds
+
+    def write_file(name, rows):
+        cols = list(zip(*rows))
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(cols[0], pa.int64()),
+                    "ts": pa.array(cols[1], pa.int64()),
+                    "user_id": pa.array(cols[2], pa.int64()),
+                    "event_type": pa.array(cols[3]),
+                    "value": pa.array(cols[4], pa.float64()),
+                    "props": pa.array(cols[5]),
+                }
+            ),
+            str(src / name),
+        )
+
+    hour = 3_600 * 1_000_000
+    # batch 1: one event in the "early" window, one 3h later ("anchor")
+    # -> the watermark advances to anchor_ts - 10 min
+    write_file(
+        "a.parquet",
+        [
+            (0, base_us, 1, "click", 1.0, "{}"),
+            (1, base_us + 3 * hour, 1, "click", 1.0, "{}"),
+        ],
+    )
+    _time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 2: benign row — needed because the late-row filter uses the
+    # watermark COMMITTED as of the previous batch (it lags one batch;
+    # measured: dropped=0 when the late row rides the same batch that
+    # first advances the watermark, dropped=1 one batch later)
+    write_file(
+        "b.parquet",
+        [(2, base_us + 3 * hour + 60 * 1_000_000, 1, "click", 1.0, "{}")],
+    )
+    _time.sleep(1.1)
+    # batch 3: a LATE event back in the early window (3h < watermark)
+    # and an in-horizon event shortly after the anchor
+    write_file(
+        "c.parquet",
+        [
+            (3, base_us + 2, 1, "click", 100.0, "{}"),
+            (4, base_us + 3 * hour + 120 * 1_000_000, 1, "click", 1.0, "{}"),
+        ],
+    )
+
+    ev = stream_events(
+        spark,
+        str(src),
+        watermark="10 minutes",
+        glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    q = (
+        windowed_counts(ev)
+        .writeStream.format("memory")
+        .queryName("late_drop_probe")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (window, batch) update; the
+    # CURRENT value of a window is its highest-count update
+    got = {}
+    for r in spark.sql("SELECT * FROM late_drop_probe").collect():
+        cur = got.get(r["window_start"])
+        if cur is None or r["cnt"] > cur[0]:
+            got[r["window_start"]] = (r["cnt"], r["sum_value"])
+    early_win = base_us // 1_000_000 // 600 * 600
+    anchor_win = (base_us + 3 * hour) // 1_000_000 // 600 * 600
+    # the late row (value=100.0) must NOT be merged into the early
+    # window: count stays 1, sum stays 1.0
+    assert got[early_win] == (1, 1.0), got
+    # the in-horizon rows DID land in the anchor window (anchor + the
+    # batch-2 and batch-3 on-time rows)
+    assert got[anchor_win] == (3, 3.0), got
