@@ -5110,6 +5110,55 @@ def q_incremental_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS b
+                FROM events),
+    cnt AS (SELECT event_type, b, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+    sp AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM ev),
+    grid AS (SELECT t.event_type, g.b
+             FROM (SELECT DISTINCT event_type FROM ev) t
+             CROSS JOIN (SELECT unnest(generate_series(
+                 (SELECT lo FROM sp), (SELECT hi FROM sp))) AS b) g)
+    SELECT grid.event_type, CAST(grid.b * 3600 AS BIGINT) AS hour_start,
+           CAST(COALESCE(cnt.c, 0) AS BIGINT) AS cnt
+    FROM grid LEFT JOIN cnt
+      ON grid.event_type = cnt.event_type AND grid.b = cnt.b
+    """,
+    doc="Time-series gap filling (resample): hourly per-type counts "
+    "with ZERO rows for silent hours — plain groupBy drops empty "
+    "buckets, but monitoring/forecasting consumers need the explicit "
+    "0 (the Timescale time_bucket_gapfill / dense-calendar shape). "
+    "The dense grid is |types| x |hours| — DIMENSION-sized, built by "
+    "exploding a sequence against the 1-row min/max span (broadcast, "
+    "k-row control channel), never by outer-joining the fact table to "
+    "itself; the fact-sized work stays one partial-agg groupBy. Exact "
+    "integer hour banding (epoch-us div).",
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts::timestamp) div 3600000000").alias("b"),
+    )
+    cnt = ev.groupBy("event_type", "b").agg(F.count(F.lit(1)).alias("c"))
+    span = ev.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("b"),
+        )
+    )
+    return grid.join(cnt, ["event_type", "b"], "left").select(
+        "event_type",
+        (F.col("b") * 3600).cast("long").alias("hour_start"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("cnt"),
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -5209,6 +5258,7 @@ _TAIL = [
     # primitives (hidden-col projection; eqNullSafe hash join;
     # partial-agg re-aggregation).
     "doc_provenance", "null_safe_join", "incremental_merge_counts",
+    "events_hourly_gapfill",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",

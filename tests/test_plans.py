@@ -365,3 +365,36 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The three physical join strategies are selectable per-join via
+    hints (the join-level analogue of the reference's four *ByKey
+    physical twins): same logical join -> broadcast-hash, sort-merge,
+    or shuffled-hash plan on demand, identical results."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    cases = {
+        "broadcast": ("BroadcastHashJoin", None),
+        "merge": ("SortMergeJoin", "BroadcastHashJoin"),
+        "shuffle_hash": ("ShuffledHashJoin", "SortMergeJoin"),
+    }
+    counts = set()
+    for hint, (want, forbid) in cases.items():
+        j = o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+        p = plan(j)
+        assert want in p, (hint, p[:500])
+        if forbid:
+            assert forbid not in p, (hint, p[:500])
+        counts.add(j.count())
+    assert len(counts) == 1  # all three strategies agree on the result

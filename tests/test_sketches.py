@@ -114,3 +114,21 @@ def test_count_min_sketch_overestimates_within_bound(events):
         est = cms.estimateCount(k)
         assert est >= c, (k, est, c)
         assert est - c <= max(1, eps_bound), (k, est, c)
+
+
+def test_approx_top_k_matches_exact_on_small_domain(spark, sf_dir, duck):
+    """approx_top_k (Spark 4 sketch aggregate): with the domain (5
+    event types) far under maxItemsTracked the sketch tracks every
+    item exactly, so its top-3 must EQUAL the exact top-3 counts —
+    the same contract style as the HLL/percentile/CMS entries
+    (engine-specific sketch => pytest contract, not a value oracle)."""
+    rows = spark.sql(
+        "SELECT approx_top_k(event_type, 3) AS tk FROM {ev}",
+        ev=spark.read.parquet(f"{sf_dir}/events.parquet"),
+    ).collect()
+    got = [(e["item"], e["count"]) for e in rows[0]["tk"]]
+    exact = duck.execute(
+        "SELECT event_type, COUNT(*) AS c FROM events "
+        "GROUP BY 1 ORDER BY c DESC, event_type LIMIT 3"
+    ).fetchall()
+    assert [(i, c) for i, c in got] == [(i, int(c)) for i, c in exact]
