@@ -117,6 +117,9 @@ HEADLINE = [
     "zorder_values",
     "null_safe_join",
     "incremental_merge_counts",
+    "events_hourly_gapfill",
+    "funnel_conversion",
+    "cohort_retention",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,

@@ -5159,6 +5159,101 @@ def q_events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+    v AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(ev.tus) AS t2
+          FROM ev JOIN v ON ev.user_id = v.user_id
+          WHERE ev.event_type = 'click' AND ev.tus > v.t1
+          GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(ev.tus) AS t3
+          FROM ev JOIN c ON ev.user_id = c.user_id
+          WHERE ev.event_type = 'purchase' AND ev.tus > c.t2
+          GROUP BY ev.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, each "
+    "step strictly AFTER the previous step's first occurrence): the "
+    "event-sequence analytics shape. Each stage is a per-user MIN "
+    "aggregate (partial-agg map-side) followed by an equi-join on "
+    "user_id — every stage shuffles once on the SAME key, so at "
+    "100 TB the three stages co-partition and the later stages run "
+    "on monotonically shrinking survivor sets. No window over the "
+    "full event history, no per-user event arrays.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"), (p, "n_view_click_purchase"))
+    ]
+    return counts[0].join(counts[1]).join(counts[2])
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+                FROM events),
+    first AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+    SELECT CAST(f.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(ev.wk - f.cohort_wk AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+    FROM ev JOIN first f ON ev.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by FIRST-activity week, "
+    "activity counted per (cohort, week offset) — the standard "
+    "retention triangle. First-touch is a per-user MIN (partial agg), "
+    "joined back on user_id (same shuffle key), then one "
+    "distinct-count aggregate; the matrix output is "
+    "|cohorts| x |weeks|, dimension-sized. Exact integer epoch-week "
+    "banding on both engines.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts::timestamp) div 604800000000").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("long").alias("cohort_wk"),
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -5258,7 +5353,7 @@ _TAIL = [
     # primitives (hidden-col projection; eqNullSafe hash join;
     # partial-agg re-aggregation).
     "doc_provenance", "null_safe_join", "incremental_merge_counts",
-    "events_hourly_gapfill",
+    "events_hourly_gapfill", "funnel_conversion", "cohort_retention",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",
