@@ -836,3 +836,19 @@ def test_source_quota_keeps_top_quality_per_source(spark, sf_dir, duck):
         ranks = sorted(p["pick_rank"] for p in picked)
         assert ranks == list(range(1, len(picked) + 1))
     assert set(per_src) == set(totals)
+
+
+def test_map_in_arrow_features_match_pandas_twin(spark, sf_dir):
+    """The mapInArrow surface (raw RecordBatch in/out, no pandas
+    boxing of binary payloads) must produce exactly the pandas twin's
+    features over the same fake-decoded corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = MM.attach_payload(docs)
+    a = {
+        r["doc_id"]: r["feature"]
+        for r in MM.extract_features_arrow(mm).collect()
+    }
+    b = {
+        r["doc_id"]: r["feature"] for r in MM.extract_features(mm).collect()
+    }
+    assert a == b and len(a) > 0
