@@ -149,3 +149,51 @@ def write_partitioned(
     (PartitionFilters in the scan, asserted in tests), so a day/segment
     query touches 1/N of the data without an index."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zval_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order ingest layout: range-partition on the Morton key (see
+    queries.zorder_values for the key derivation) and sort within each
+    partition, so every output file covers a contiguous z-range — a
+    bounded min-max rectangle in BOTH original dimensions. Parquet
+    file/row-group skipping then prunes predicates on EITHER column;
+    a single-column sort prunes only its own column. ``n_files``
+    approximates target file count (range partitioning is balanced by
+    sampling, the standard total-order write)."""
+    (
+        df.repartitionByRange(n_files, F.col(zval_col))
+        .sortWithinPartitions(zval_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_files: int
+) -> None:
+    """Small-files compaction — the operational fix for streaming/
+    incremental sinks that accrete thousands of tiny files (each file
+    costs a task + open + footer parse at read time; at 100 TB the
+    file COUNT, not the bytes, becomes the scheduler bottleneck).
+    Rewrites the dataset into ``target_files`` files via the same
+    write-new + atomic-rename-swap publish the streaming upsert sink
+    uses, so concurrent readers never observe a half-written dir."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    new_path = f"{path}.__compact_new"
+    old_path = f"{path}.__compact_old"
+    new_p = jvm.org.apache.hadoop.fs.Path(new_path)
+    old_p = jvm.org.apache.hadoop.fs.Path(old_path)
+    fs.delete(new_p, True)
+    spark.read.parquet(path).coalesce(target_files).write.parquet(new_path)
+    fs.delete(old_p, True)
+    fs.rename(jpath, old_p)
+    fs.rename(new_p, jpath)
+    fs.delete(old_p, True)

@@ -370,3 +370,69 @@ def test_python_datasource_stream_reader_drains_full_graph(spark, tmp_path):
     expect, _ = chain_graph(spark, 10)
     assert len(rows) == 100  # exactly-once: no range replayed
     assert {tuple(r) for r in rows} == {tuple(r) for r in expect.collect()}
+
+
+def test_write_zordered_bounds_files_in_both_dims(spark, sf_dir, tmp_path):
+    """Physical z-order layout: each written FILE (not just each sorted
+    slice) must cover a bounded rectangle in both original dimensions,
+    so a quarter-range predicate on either column skips most files —
+    the multi-dim pruning a user_id-sorted layout cannot give."""
+    import os
+
+    from mapreducelearnings_spark.queries import REGISTRY
+    from mapreducelearnings_spark.sources.io import write_zordered
+
+    z = REGISTRY["zorder_values"].spark(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id",
+        "user_id",
+        "unix_micros(ts::timestamp) div 60000000 as mins",
+    )
+    out = str(tmp_path / "events_z")
+    write_zordered(z.join(ev, "event_id"), out, "zval", n_files=16)
+
+    files = [
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 8
+    stats = []
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf):
+            stats.append(
+                (pdf.user_id.min(), pdf.user_id.max(), pdf.mins.min(), pdf.mins.max())
+            )
+    ulo = min(s[0] for s in stats); uhi = max(s[1] for s in stats)
+    tlo = min(s[2] for s in stats); thi = max(s[3] for s in stats)
+    uq_hi = ulo + (uhi - ulo) // 4
+    tq_hi = tlo + (thi - tlo) // 4
+    u_touch = sum(1 for s in stats if not (s[1] < ulo or s[0] > uq_hi))
+    t_touch = sum(1 for s in stats if not (s[3] < tlo or s[2] > tq_hi))
+    # both quarter-range predicates must skip at least ~40% of files
+    assert u_touch <= len(stats) * 0.6, (u_touch, len(stats))
+    assert t_touch <= len(stats) * 0.6, (t_touch, len(stats))
+
+
+def test_compact_parquet_reduces_files_and_preserves_data(spark, sf_dir, tmp_path):
+    import os
+
+    from mapreducelearnings_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "tiny_files")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32
+    before = src.count()
+    compact_parquet(spark, path, target_files=4)
+    names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(names) <= 4
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == before
+    # spot-check content equality (order-insensitive)
+    assert (
+        after_df.agg(F.sum("event_id")).first()[0]
+        == src.agg(F.sum("event_id")).first()[0]
+    )
