@@ -110,3 +110,72 @@ def test_asof_join_matches_python_reference(spark, rights, lefts):
         cands = [(rt, rid) for (rk, rt, rid) in rights if rk == k and rt <= t]
         expect = max(cands)[1] if cands else None
         assert out[lid] == expect, (lid, k, t, cands)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    points=st.lists(st.integers(0, 200), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(1, 60)),
+        min_size=1,
+        max_size=10,
+    ),
+    band=st.integers(1, 80),
+)
+def test_banded_interval_join_property(spark, points, intervals, band):
+    """banded_interval_join ≡ brute-force lo<=x<hi for arbitrary point
+    sets, interval lengths, and band widths (including bands smaller
+    AND larger than every interval)."""
+    from mapreducelearnings_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(points)], "pid long, x long"
+    )
+    ivs = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(intervals)]
+    idf = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in banded_interval_join(pdf, idf, "x", "lo", "hi", band).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, x in enumerate(points)
+        for ii, lo, hi in ivs
+        if lo <= x < hi
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_morton_spread_is_injective_and_orders_locally(pairs):
+    """The mask-ladder bit spread is the Morton interleave: zvals are
+    unique per (ux,tx) pair and decode back exactly (pure-Python mirror
+    of the column expression / SQL ladder)."""
+
+    def spread(x):
+        for shift, mask in [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]:
+            x = (x | (x << shift)) & mask
+        return x
+
+    def unspread(x):
+        for shift, mask in [(1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF), (8, 0x0000FFFF)]:
+            x = (x | (x >> shift)) & mask
+        return x
+
+    zvals = {}
+    for ux, tx in pairs:
+        z = spread(ux) | (spread(tx) << 1)
+        assert unspread(z & 0x55555555) == ux
+        assert unspread((z >> 1) & 0x55555555) == tx
+        zvals[z] = (ux, tx)
+    assert len(zvals) == len(pairs)  # injective
