@@ -436,3 +436,45 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark, sf_dir, tmp_pat
         after_df.agg(F.sum("event_id")).first()[0]
         == src.agg(F.sum("event_id")).first()[0]
     )
+
+
+def test_doc_provenance_metadata_is_real_path(spark, sf_dir):
+    """doc_provenance's oracle pins the basename (the view can't expose
+    DuckDB's filename= column), so the REAL evidence that Spark's
+    hidden _metadata struct works lives here: file_path must be an
+    existing file whose basename equals the query's file_name, and
+    file_size must match the on-disk size."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = docs.select(
+        "_metadata.file_path", "_metadata.file_name", "_metadata.file_size"
+    ).first()
+    path = row["file_path"]
+    local = path.removeprefix("file://").removeprefix("file:")
+    assert os.path.exists(local)
+    assert os.path.basename(local) == row["file_name"] == "documents.parquet"
+    assert os.path.getsize(local) == row["file_size"]
+
+
+def test_udtf_sentence_counts_agree_with_codegen_twin(spark, sf_dir):
+    """The Python UDTF and the pure-codegen sentence_stats path share
+    one sentence contract: per-doc sentence counts must be identical
+    (docs with zero sentences appear only in the stats twin, with 0)."""
+    from mapreducelearnings_spark.queries import REGISTRY
+
+    udtf_counts = {
+        r["doc_id"]: r["n"]
+        for r in REGISTRY["sentence_split_udtf"]
+        .spark(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stats = {
+        r["doc_id"]: r["n_sentences"]
+        for r in REGISTRY["sentence_stats"].spark(spark, sf_dir).collect()
+    }
+    for doc_id, n in stats.items():
+        assert udtf_counts.get(doc_id, 0) == n, doc_id
+    assert set(udtf_counts) <= set(stats)
