@@ -586,3 +586,63 @@ def run_session_windows_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incident_counts_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "incident_counts_stream",
+    band_us: int = 600_000_000,
+) -> None:
+    """STREAM-STATIC banded interval join — the streaming twin of the
+    batch ``incident_event_counts`` query (operators/rangejoin.py):
+    live events counted into a static table of incident windows.
+
+    The static side (incident windows derived from error events) is
+    exploded to its time bands ONCE at plan time; each streaming
+    micro-batch equi-joins on the band key (stream-static joins are
+    STATELESS — no watermark state, the static side behaves like a
+    broadcast dim), then refines with the exact lo<=t<hi predicate.
+    The aggregation keyed by incident_id runs in complete mode here
+    (fixture-scale memory sink); a production sink would use the
+    foreachBatch upsert. Same shape at 100 TB: the band explode keeps
+    the static side ≤2 rows per incident, and no micro-batch ever
+    nested-loops against the incident table."""
+    ev_batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inc = (
+        ev_batch.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + F.lit(band_us))
+        .withColumn(
+            "_band",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / F.lit(band_us)),
+                    F.floor((F.col("hi") - F.lit(1)) / F.lit(band_us)),
+                )
+            ),
+        )
+    )
+    stream = stream_events(spark, sf_dir).select(
+        F.unix_micros("ts").alias("tus"), "value"
+    ).withColumn("_band", F.floor(F.col("tus") / F.lit(band_us)))
+    joined = (
+        stream.join(inc, "_band")
+        .where((F.col("tus") >= F.col("lo")) & (F.col("tus") < F.col("hi")))
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

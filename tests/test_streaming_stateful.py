@@ -435,3 +435,23 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     # the in-horizon rows DID land in the anchor window (anchor + the
     # batch-2 and batch-3 on-time rows)
     assert got[anchor_win] == (3, 3.0), got
+
+
+def test_stream_static_interval_join_matches_batch(spark, sf_dir):
+    """The stream-static banded interval join must produce exactly the
+    batch incident_event_counts result over the same data."""
+    from mapreducelearnings_spark.queries import REGISTRY
+    from mapreducelearnings_spark.streaming.windows import (
+        run_incident_counts_stream_to_memory,
+    )
+
+    run_incident_counts_stream_to_memory(spark, sf_dir)
+    got = {
+        r["incident_id"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM incident_counts_stream").collect()
+    }
+    want = {
+        r["incident_id"]: (r["n_events"], r["sum_value"])
+        for r in REGISTRY["incident_event_counts"].spark(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
