@@ -5254,6 +5254,139 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_sizes",
+    f"""
+    WITH cc AS ({_DEDUP_CLUSTERS_ORACLE})
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM cc GROUP BY cluster_id)
+    GROUP BY cluster_size
+    """,
+    doc="Near-dup cluster-size HISTOGRAM — the dedup monitoring signal "
+    "(a fat tail here means a template/boilerplate family is eating "
+    "the corpus; the distribution drives the keep-policy choice). Two "
+    "tiny re-aggregations over the dedup_clusters output; the "
+    "histogram is |distinct sizes| rows.",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = DD.lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = G.connected_components(spark, edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
+_VOCAB_V = 10
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT {_VOCAB_V}),
+    per AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+                   SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_rate
+    FROM per
+    """,
+    doc="Closed-vocabulary OOV rate: build the top-V token vocabulary "
+    "(count desc, token asc tiebreak — deterministic truncation, the "
+    "tokenizer-training step), then score every document's "
+    "out-of-vocabulary OCCURRENCE fraction — the signal that drives "
+    "vocab sizing and flags domain-shifted documents. The vocabulary "
+    "is V rows (broadcast); the corpus-side work is one explode + one "
+    "partial-agg groupBy + a broadcast left join, so at 100 TB the "
+    "fact side never shuffles on the token.",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 4
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "source_mixture_weights",
+    f"""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                        SUM(len({_TOKS})) AS n_tokens
+                 FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per),
+    sh AS (SELECT source, n_docs, n_tokens,
+                  sqrt(CAST(n_tokens AS DOUBLE) / tot.t) AS sw
+           FROM per CROSS JOIN tot),
+    den AS (SELECT SUM(sw) AS d FROM sh)
+    SELECT sh.source, CAST(sh.n_docs AS BIGINT) AS n_docs,
+           CAST(sh.n_tokens AS BIGINT) AS n_tokens,
+           ROUND(sh.sw * sh.sw, 6) AS token_share,
+           ROUND(sh.sw / den.d, 4) AS mix_weight
+    FROM sh CROSS JOIN den
+    """,
+    doc="Training-mixture weights per source: token share per domain, "
+    "re-weighted by share^0.5 and normalized — the standard "
+    "temperature-flattened sampling mix (alpha<1 boosts small "
+    "domains; alpha=0.5 chosen because sqrt is IEEE "
+    "correctly-rounded, so the weights are bit-portable where a "
+    "general pow() is not — lesson 14's rule applied to the "
+    "exponent). All aggregates are k-row (|sources|); the only "
+    "corpus-sized work is one token-count scan.",
+)
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(X.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    sh = per.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double") / F.col("t")).alias("sw"),
+    )
+    den = sh.agg(F.sum("sw").alias("d"))
+    return sh.join(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("sw") * F.col("sw"), 6).alias("token_share"),
+        F.round(F.col("sw") / F.col("d"), 4).alias("mix_weight"),
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -5354,6 +5487,7 @@ _TAIL = [
     # partial-agg re-aggregation).
     "doc_provenance", "null_safe_join", "incremental_merge_counts",
     "events_hourly_gapfill", "funnel_conversion", "cohort_retention",
+    "dedup_cluster_sizes", "vocab_oov_rate", "source_mixture_weights",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",
