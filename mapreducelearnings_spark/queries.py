@@ -5387,6 +5387,20 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "customer_running_totals_pandas",
+    REGISTRY["customer_running_totals"].oracle,
+    doc="The grouped-map applyInPandas surface (SURVEY.md \u00a72.9): "
+    "per-customer running totals computed in per-group pandas frames "
+    "(cumsum/shift) instead of JVM window codegen \u2014 same oracle as "
+    "customer_running_totals, so the Arrow grouped-map machinery "
+    "itself is oracle-checked. Kept as the flexibility twin; the "
+    "window path is the hot path.",
+)
+def q_customer_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.running_totals_pandas(load_table(spark, sf_dir, "orders"))
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -5488,6 +5502,7 @@ _TAIL = [
     "doc_provenance", "null_safe_join", "incremental_merge_counts",
     "events_hourly_gapfill", "funnel_conversion", "cohort_retention",
     "dedup_cluster_sizes", "vocab_oov_rate", "source_mixture_weights",
+    "customer_running_totals_pandas",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",

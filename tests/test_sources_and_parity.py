@@ -478,3 +478,32 @@ def test_udtf_sentence_counts_agree_with_codegen_twin(spark, sf_dir):
     for doc_id, n in stats.items():
         assert udtf_counts.get(doc_id, 0) == n, doc_id
     assert set(udtf_counts) <= set(stats)
+
+
+def test_corrupt_file_handling_modes(spark, sf_dir, tmp_path):
+    """Operational contract for a 100 TB ingest dir with a bad shard:
+    default read FAILS loudly on a corrupt parquet footer (silent
+    partial data is worse than an error), while
+    spark.sql.files.ignoreCorruptFiles=true skips the bad file and
+    returns every row of the good ones."""
+    import shutil
+
+    import pytest as _pytest
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/region.parquet", str(d / "good.parquet"))
+    (d / "bad.parquet").write_bytes(b"PAR1 this is not a real parquet file")
+    good_rows = spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(str(d)).count()
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # schema given explicitly: inference itself would read the bad
+        # footer at PLANNING time, before the scan-time skip applies
+        schema = spark.read.parquet(f"{sf_dir}/region.parquet").schema
+        assert spark.read.schema(schema).parquet(str(d)).count() == good_rows
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
