@@ -168,3 +168,95 @@ class ChainEdgesStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to clean up; offsets live in the checkpoint
+
+
+# ---------------------------------------------------------------------------
+# Custom SINK: the write side of the Python Data Source API — a JSONL
+# sink with the full task-commit protocol (speculative/failed task
+# attempts write to invisible temp files; only the driver-side commit
+# publishes them, and abort removes every orphan). This is the same
+# two-phase contract every production Spark sink honors; proven here
+# for a pure-Python connector. Local-FS paths here; on a cluster the
+# target must be shared storage, like any file sink.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_file: str
+    rows: int
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyjsonl sink requires option('path', ...)")
+        self.fail_marker = options.get("fail_on_value")  # test hook: abort path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        """Runs on EXECUTORS, once per partition (and once per retried
+        attempt): writes to a uuid temp file that no reader can mistake
+        for data — publication happens only in commit()."""
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                d = row.asDict()
+                if self.fail_marker is not None and str(
+                    d.get("src")
+                ) == str(self.fail_marker):
+                    raise RuntimeError("injected task failure (test hook)")
+                f.write(json.dumps(d, sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(tmp_file=tmp, rows=n)
+
+    def commit(self, messages):
+        """Driver-side publish: exactly the attempts Spark reports as
+        successful are renamed to visible part files; stray temp files
+        from failed/speculative attempts are swept."""
+        import glob
+        import os
+
+        committed = set()
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_file, final)
+            committed.add(final)
+        for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+            os.remove(orphan)
+
+    def abort(self, messages):
+        import glob
+        import os
+
+        for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
+            os.remove(orphan)
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("pyjsonl").option("path", p).save()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pyjsonl"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options, overwrite)
+
+
+def register_jsonl_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)

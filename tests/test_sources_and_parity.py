@@ -507,3 +507,40 @@ def test_corrupt_file_handling_modes(spark, sf_dir, tmp_path):
         assert spark.read.schema(schema).parquet(str(d)).count() == good_rows
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_python_datasource_jsonl_sink_commit_protocol(spark, sf_dir, tmp_path):
+    """The write side of the Python Data Source API: a successful save
+    publishes exactly the committed part files (no temp residue) and
+    round-trips the data; an injected task failure ABORTS the job and
+    leaves no visible part files behind."""
+    import os
+
+    from mapreducelearnings_spark.sources.pydatasource import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    edges = follower_edges(spark, sf_dir).limit(200)
+
+    out = str(tmp_path / "jsonl_ok")
+    edges.write.format("pyjsonl").mode("append").option("path", out).save()
+    names = sorted(os.listdir(out))
+    assert names and all(n.startswith("part-") for n in names)
+    back = spark.read.schema("dst long, src long").json(out)
+    assert sorted(map(tuple, back.select("src", "dst").collect())) == sorted(
+        map(tuple, edges.collect())
+    )
+
+    bad = str(tmp_path / "jsonl_fail")
+    first_src = edges.first()["src"]
+    with pytest.raises(Exception):
+        (
+            edges.write.format("pyjsonl")
+            .mode("append")
+            .option("path", bad)
+            .option("fail_on_value", str(first_src))
+            .save()
+        )
+    leftover = os.listdir(bad) if os.path.exists(bad) else []
+    assert not [n for n in leftover if n.startswith("part-")]
