@@ -646,3 +646,55 @@ def run_incident_counts_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def followup_pairs_outer(left: DataFrame, right: DataFrame) -> DataFrame:
+    """LEFT-OUTER stream-stream join body: every event, paired with
+    the same user's follow-ups in the next 10 minutes — or a NULL
+    row if none arrive. Outer stream-stream joins are semantically
+    deeper than inner: the engine can only declare "no match will
+    ever come" once the watermark passes the event's whole interval,
+    so null rows are emitted LATE, at state eviction — which is why
+    both sides' watermarks and the time-interval bound are mandatory
+    here (Spark rejects an unbounded outer stream-stream join
+    outright). Works identically on batch frames (the equivalence
+    oracle in tests)."""
+    a = left.select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = right.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("a_id") != F.col("b_id")),
+        "left_outer",
+    ).select("a_id", "b_id", "a_user", "a_type", "b_type")
+
+
+def run_followup_outer_join_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "followups_outer"
+) -> None:
+    """Left-outer stream-stream join drained through availableNow:
+    matched pairs emit when found; null rows for match-less events
+    emit when the watermark proves no partner can still arrive."""
+    left = stream_events(spark, sf_dir, watermark="30 minutes")
+    right = stream_events(spark, sf_dir, watermark="30 minutes")
+    q = (
+        followup_pairs_outer(left, right)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -852,3 +852,47 @@ def test_map_in_arrow_features_match_pandas_twin(spark, sf_dir):
         r["doc_id"]: r["feature"] for r in MM.extract_features(mm).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
+    """LEFT-OUTER stream-stream join: matched pairs ≡ the inner join,
+    and every match-less event must surface exactly once with a NULL
+    partner — the null emission the engine may only produce after the
+    watermark proves no partner can arrive. Caveat pinned here: rows
+    whose interval is NOT closed by the final watermark never emit
+    their null (availableNow ends the query; at sf0.001 the last 10
+    minutes of events), so the contract is checked on the closed
+    region."""
+    from mapreducelearnings_spark.streaming.windows import (
+        followup_pairs_outer,
+        run_followup_outer_join_stream_to_memory,
+    )
+
+    run_followup_outer_join_stream_to_memory(spark, sf_dir)
+    got = [
+        (r["a_id"], r["b_id"])
+        for r in spark.sql("SELECT a_id, b_id FROM followups_outer").collect()
+    ]
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("unix_micros(ts::timestamp)"))
+    )
+    batch = [
+        (r["a_id"], r["b_id"])
+        for r in followup_pairs_outer(ev, ev).collect()
+    ]
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon_us = int(max_ts.timestamp() * 1e6) - (30 + 10) * 60 * 1_000_000
+    closed_ids = {
+        r["event_id"]
+        for r in ev.where(
+            F.unix_micros("ts") < F.lit(horizon_us)
+        ).select("event_id").collect()
+    }
+
+    got_closed = sorted(p for p in got if p[0] in closed_ids)
+    batch_closed = sorted(p for p in batch if p[0] in closed_ids)
+    assert got_closed == batch_closed and len(batch_closed) > 0
+    # the null rows are present and unique per match-less closed event
+    nulls = [p for p in got_closed if p[1] is None]
+    assert len(nulls) == len({p[0] for p in nulls}) > 0
