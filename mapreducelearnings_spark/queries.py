@@ -5451,7 +5451,9 @@ _CORRECTNESS_WINDOW = [
     "forecast_revenue", "order_count_distribution",
     "small_quantity_revenue", "market_share",
     "late_exclusive_suppliers", "important_parts", "doc_chunks",
-    "late_exclusive_suppliers_sql", "best_revenue_supplier",
+    # late_exclusive_suppliers_sql is the SQL-text twin of the row
+    # above (same oracle) — its slot goes to the new funnel family
+    "funnel_conversion", "best_revenue_supplier",
     "stream_enriched_totals", "events_props_variant",
     "ann_lsh_topk_multiprobe",
     "ann_ivf_trained_topk", "ann_pq_trained_topk",
@@ -5500,9 +5502,9 @@ _TAIL = [
     # primitives (hidden-col projection; eqNullSafe hash join;
     # partial-agg re-aggregation).
     "doc_provenance", "null_safe_join", "incremental_merge_counts",
-    "events_hourly_gapfill", "funnel_conversion", "cohort_retention",
+    "events_hourly_gapfill", "cohort_retention",
     "dedup_cluster_sizes", "vocab_oov_rate", "source_mixture_weights",
-    "customer_running_totals_pandas",
+    "customer_running_totals_pandas", "late_exclusive_suppliers_sql",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",
