@@ -5401,6 +5401,46 @@ def q_customer_running_totals_pandas(spark: SparkSession, sf_dir: str) -> DataFr
     return U.running_totals_pandas(load_table(spark, sf_dir, "orders"))
 
 
+@register(
+    "conditional_agg_flags",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors,
+           CAST(COUNT(*) FILTER (value > 9.0) AS BIGINT) AS n_high,
+           bool_or(event_type = 'purchase') AS ever_purchased,
+           bool_and(value >= 0) AS all_nonneg,
+           ROUND(CASE WHEN COUNT(*) FILTER (event_type = 'click') = 0
+                      THEN NULL
+                      ELSE CAST(COUNT(*) FILTER (event_type = 'purchase')
+                                AS DOUBLE)
+                           / COUNT(*) FILTER (event_type = 'click') END,
+                 4) AS purchase_per_click
+    FROM events GROUP BY user_id
+    """,
+    doc="Conditional-aggregate surface in one pass: count_if / bool_or "
+    "(ANY) / bool_and (EVERY) plus try_divide for the NULL-on-zero "
+    "conversion ratio (ANSI-safe arithmetic: a user with purchases but "
+    "zero clicks yields NULL, not an exception or Inf — mirrored as an "
+    "explicit CASE in the oracle since DuckDB divides to Inf). All six "
+    "aggregates fuse into ONE partial+final HashAggregate pair — the "
+    "counters-on-one-pass pattern from global_agg extended to "
+    "predicates.",
+)
+def q_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n_clicks = F.count_if(F.col("event_type") == "click")
+    n_purch = F.count_if(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "error").cast("long").alias("n_errors"),
+        F.count_if(F.col("value") > 9.0).cast("long").alias("n_high"),
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.round(
+            F.try_divide(n_purch.cast("double"), n_clicks), 4
+        ).alias("purchase_per_click"),
+    )
+
+
 # ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
@@ -5505,6 +5545,7 @@ _TAIL = [
     "events_hourly_gapfill", "cohort_retention",
     "dedup_cluster_sizes", "vocab_oov_rate", "source_mixture_weights",
     "customer_running_totals_pandas", "late_exclusive_suppliers_sql",
+    "conditional_agg_flags",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",
