@@ -124,6 +124,7 @@ HEADLINE = [
     "vocab_oov_rate",
     "source_mixture_weights",
     "customer_running_totals_pandas",
+    "conditional_agg_flags",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,
