@@ -4428,10 +4428,10 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
                 THEN 'SLOW' ELSE 'FAST' END AS ship_mode,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -5442,6 +5442,231 @@ def q_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-6 additions: the event-log modeling layer (sessionization +
+# SCD2 change-log compaction), the canonical MapReduce secondary-sort
+# pattern, and deterministic weighted (priority) sampling for corpus
+# mixing. All four are single-shuffle plans.
+# ===========================================================================
+
+_SESSION_GAP_SEC = 1800
+
+
+@register(
+    "batch_sessionize",
+    f"""
+    WITH e AS (SELECT user_id, event_id, value,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+               FROM events),
+    m AS (SELECT *,
+                 CASE WHEN LAG(ts_sec) OVER w IS NULL
+                        OR ts_sec - LAG(ts_sec) OVER w > {_SESSION_GAP_SEC}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+    s AS (SELECT *,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id
+                      ORDER BY ts_sec, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+          FROM m)
+    SELECT user_id, session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts_sec) - MIN(ts_sec) AS duration_sec,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+    doc="Batch sessionization (gap > 30 min starts a new session): the "
+    "lag-flag + running-sum session-id assignment, then per-session "
+    "rollup. The batch twin of streaming session_windows. ONE shuffle "
+    "total: both window passes and the final groupBy cluster on "
+    "user_id, so Catalyst reuses the HashPartitioning(user_id) exchange "
+    "for all three operators (plan-asserted in tests). Ties broken by "
+    "event_id so the session boundaries are deterministic in both "
+    "engines. At 100 TB this is the shape that replaces per-user "
+    "collect-and-loop ETL: no state beyond the window frame, skew "
+    "bounded by the busiest single user.",
+)
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_sec"),
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev = F.lag("ts_sec").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts_sec") - prev > _SESSION_GAP_SEC), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("is_new", is_new).withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "scd2_event_intervals",
+    """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+               FROM events),
+    c AS (SELECT *, LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts_sec, event_id) AS prev_t
+          FROM e),
+    f AS (SELECT * FROM c WHERE prev_t IS NULL OR prev_t <> event_type)
+    SELECT user_id, event_type, ts_sec AS valid_from_sec,
+           LEAD(ts_sec) OVER
+               (PARTITION BY user_id ORDER BY ts_sec, event_id)
+               AS valid_to_sec,
+           LEAD(ts_sec) OVER
+               (PARTITION BY user_id ORDER BY ts_sec, event_id) IS NULL
+               AS is_current
+    FROM f
+    """,
+    doc="SCD2 change-log compaction: collapse each user's event stream "
+    "to the rows where event_type CHANGES, then assign "
+    "[valid_from, valid_to) validity intervals via LEAD (open interval "
+    "= current state). The standard dimension-history build. One "
+    "shuffle: the lag-dedup filter, the lead, and the is-current flag "
+    "all run inside the same HashPartitioning(user_id) window stage. "
+    "Deterministic ordering via the (ts_sec, event_id) tiebreak.",
+)
+def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    prev_t = F.lag("event_type").over(w)
+    changes = ev.withColumn("prev_t", prev_t).where(
+        F.col("prev_t").isNull() | (F.col("prev_t") != F.col("event_type"))
+    )
+    valid_to = F.lead("ts_sec").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_sec").alias("valid_from_sec"),
+        valid_to.alias("valid_to_sec"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "secondary_sort_orders",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           string_agg(CAST(l_orderkey AS VARCHAR), ','
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber)
+               AS ordered_orders
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    doc="The canonical MapReduce SECONDARY SORT: per key (supplier), "
+    "the value stream ordered by a secondary key (ship date) — what MR "
+    "achieves with a composite shuffle key + grouping comparator. "
+    "Spark-first form: collect_list of (sort-key, payload) structs + "
+    "array_sort + transform, all inside ONE hash aggregate — no "
+    "per-key sort job, no repartitionAndSortWithinPartitions "
+    "imperative pass (that RDD twin is parity-tested in "
+    "tests/test_sources_and_parity.py for groups too large to "
+    "collect_list, where sorted-within-partition streaming write is "
+    "the 100 TB fallback). Ties broken by (l_orderkey, l_linenumber), "
+    "so the concatenation is deterministic in both engines; output "
+    "stringified per the driver-hashability rule.",
+)
+def q_secondary_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sorted_structs = F.array_sort(
+        F.collect_list(
+            F.struct("l_shipdate", "l_orderkey", "l_linenumber")
+        )
+    )
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.array_join(
+            F.transform(
+                sorted_structs, lambda x: x["l_orderkey"].cast("string")
+            ),
+            ",",
+        ).alias("ordered_orders"),
+    )
+
+
+# Priority sampling (Duffield/Lund/Thorup): priority q = w / u with
+# u ~ Uniform(0,1]; the top-k by q is a weighted sample without
+# replacement. u is md5-derived (no RNG), and q is ONE IEEE division of
+# exactly-representable integers — bit-identical in Spark and DuckDB,
+# so even the ORDER BY boundary is deterministic cross-engine.
+_PRIO_MOD = 1 << 20
+_PRIO_K = 50
+
+
+@register(
+    "weighted_sample_priority",
+    f"""
+    WITH w AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % {_PRIO_MOD} AS BIGINT) AS u
+      FROM documents)
+    SELECT doc_id, n_chars,
+           FLOOR((CAST(n_chars * {2 * _PRIO_MOD} AS DOUBLE)
+                  / CAST(2 * u + 1 AS DOUBLE)) * 10000 + 0.5) / 10000
+               AS priority
+    FROM w
+    ORDER BY CAST(n_chars * {2 * _PRIO_MOD} AS DOUBLE)
+             / CAST(2 * u + 1 AS DOUBLE) DESC, doc_id
+    LIMIT {_PRIO_K}
+    """,
+    doc="Deterministic weighted sampling (priority sampling, Duffield "
+    "et al. JACM'07): priority = weight/uniform with the uniform drawn "
+    "from md5(doc_id) — heavier documents (n_chars) are "
+    "proportionally likelier to rank in the top-k, yet the sample is "
+    "exactly reproducible run-over-run and engine-over-engine (the "
+    "priority is one IEEE division of exact integers; no libm, no "
+    "RNG). The plan is scan → TakeOrderedAndProject: zero shuffles "
+    "before the k-row ordered exchange, the same shape as top_k. At "
+    "100 TB this replaces 'ORDER BY random()' corpus draws whose "
+    "output can't be audited; changing the weight column re-weights "
+    "the mix without touching the mechanism.",
+)
+def q_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (X.md5_long(F.col("doc_id").cast("string")) % _PRIO_MOD).alias("u")
+    w = docs.select("doc_id", "n_chars", u)
+    priority = (F.col("n_chars") * (2 * _PRIO_MOD)).cast("double") / (
+        F.col("u") * 2 + 1
+    ).cast("double")
+    return (
+        w.select(
+            "doc_id",
+            "n_chars",
+            priority.alias("_pri"),
+        )
+        .orderBy(F.col("_pri").desc(), "doc_id")
+        .limit(_PRIO_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.floor(F.col("_pri") * 10000 + 0.5) / 10000).alias("priority"),
+        )
+    )
+
+
+# ===========================================================================
 # Registry ordering: the driver's correctness gate hashes the FIRST 50
 # registry entries (observed in CORRECTNESS_r01/r02 — both files are
 # exactly REGISTRY[:50]). Order therefore IS coverage: the window below
@@ -5452,132 +5677,96 @@ def q_conditional_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and at sf0.01 by tools/check_oracles.py).
 # ===========================================================================
 
-# Round-5 rotation (evidence-freshness, per VERDICT r04 Next #4): IN —
-# (a) the twenty queries NEW this round (dedup_stream_lsh, the
-# fifteen TPC-H-style composite-plan entries ending at
-# late_exclusive_suppliers/important_parts, ann_ivf_pq_topk,
-# repetition_stats, pii_redact, doc_chunks), none with a driver row
-# yet; (b) the seven tail entries whose last driver-green
-# row is oldest (r01/r02 era): sales_cube, set_except, set_intersect,
-# anti_join, customer_running_totals, lang_id, udf_discounted_price.
-# Entries whose code CHANGED this round (hof_gauntlet stringify,
-# ann_ivf_trained_topk sampled training, ann_pq_trained_topk sampled
-# training, min_cost_supplier argmin, sequence_packing shard math,
-# stratified_sample projection, dedup_stream_lsh scoped conf) stay in
-# the window so the driver re-proves them post-change. OUT — r04-green
-# entries untouched this round (follower_sum, max_filter,
-# distinct_pairs, right_outer_join, explode_tokens,
-# salted_follower_count, triangle_count_broadcast,
-# triangle_count_capped, dedup_ngram_jaccard, token_counts_bpe,
-# token_doc_frequency, sql_revenue_by_nation, shipping_priority,
-# distinct_users_per_type, sliding_windows, top_events_per_user,
-# pagerank_df_quirk, pagerank_topk, kmeans_followers, dedup_clusters,
-# dedup_clusters_star, pivot/unpivot_event_counts, sentence_stats,
-# text_normalize, inverted_index, bm25_topk); each keeps its fresh r04
-# driver row, the full local oracle suite every round, and the sf0.01
-# check_oracles re-runs recorded in COVERAGE.md.
+# ---------------------------------------------------------------------------
+# ROTATION SCHEDULE (bounds evidence staleness; VERDICT r05 Next #4).
+# 143 entries / 50 slots ⇒ a fixed 3-round cycle: every entry gets a
+# driver row at least every 3 rounds, and the r{N}+r{N-1}+r{N-2} union
+# always covers the whole registry. Standing rules, in priority order:
+#   1. entries whose CODE or ORACLE changed this round → window;
+#   2. entries with NO driver row ever (new queries) → window;
+#   3. oldest-evidence entries fill the remaining slots (so nothing
+#      exceeds age 3).
+# Round-6 cohort math: the 44 entries whose last row predates r4 (the
+# 11 never-checked + 33 r3-era) + shipmode_priority (oracle cast fix,
+# rule 1) + incident_event_counts (rangejoin integer-banding rewrite,
+# rule 1) + the 4 new round-6 queries (rule 2) = exactly 50.
+# Forecast (so future rounds can't be cornered): r7 must cover the 45
+# r4-only entries (ann_* family, dedup_clusters*, token/text pack,
+# pivot/unpivot, salted*, triangle_*caps, window gauntlets, …) — 5
+# slots spare; r8 must cover the ≤48 r5-greens not re-proven sooner.
+# ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    "dedup_stream_lsh", "sales_cube",
-    "set_except", "set_intersect", "anti_join",
-    "customer_running_totals", "lang_id", "udf_discounted_price",
-    # round-5 additions (no driver row yet): the TPC-H-style
-    # composite-plan pack, the IVF×PQ ANN composition, and the
-    # repetition/PII text-pipeline pair.
-    "repetition_stats", "pii_redact",
+    # rule 1 — code/oracle changed this round: shipmode_priority's
+    # oracle SUMs now CAST to BIGINT (the 5-round HUGEINT-vs-bigint
+    # hash divergence, VERDICT r05 "What's wrong" #1);
+    # incident_event_counts sits on the rewritten exact-integer band
+    # key in operators/rangejoin.py.
+    "shipmode_priority", "incident_event_counts",
+    # rule 2 — new round-6 queries, no driver row yet:
+    "batch_sessionize", "scd2_event_intervals",
+    "secondary_sort_orders", "weighted_sample_priority",
+    # rule 2 — the 11 entries that had NEVER been driver-checked
+    # (VERDICT r05 Next #2, listed there by name):
+    "late_exclusive_suppliers_sql", "doc_provenance", "null_safe_join",
+    "incremental_merge_counts", "events_hourly_gapfill",
+    "cohort_retention", "dedup_cluster_sizes", "vocab_oov_rate",
+    "source_mixture_weights", "customer_running_totals_pandas",
+    "conditional_agg_flags",
+    # rule 3 — the 33 r3-era entries (freshest row r3; age would hit 4
+    # this round without a slot):
+    "follower_count", "window_events", "udaf_weighted_avg",
+    "pricing_summary", "similarity_topk", "events_props_json",
+    "sales_rollup", "asof_latest_order", "session_windows",
+    "quantity_percentiles", "pagerank_general", "dedup_minhash_lsh",
+    "doc_fingerprints", "text_stats", "grouped_sum", "grouped_min_max",
+    "global_agg", "grouped_collect", "case_when", "scalar_gauntlet",
+    "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
+    "top_k", "union_reagg", "pagerank_idfilter", "sssp_distances",
+    "sssp_paths", "triangle_count", "kmeans_centroids", "dedup_exact",
+    "simhash_fingerprints",
+]
+
+# Outside the driver's 50-row window this round: every entry below has
+# a green driver row from r4 or r5 (ages 1-2 entering r6; none reaches
+# the age-3 bound before its scheduled r7/r8 slot), and all are still
+# oracle-checked locally at sf0.001 by tests/test_oracle_parity and at
+# sf0.01 by tools/check_oracles.py every round.
+_TAIL = [
+    # r5-green (age 1): scheduled for r8 unless code changes sooner.
+    "dedup_stream_lsh", "sales_cube", "set_except", "set_intersect",
+    "anti_join", "customer_running_totals", "lang_id",
+    "udf_discounted_price", "repetition_stats", "pii_redact",
     "order_priority_semi", "volume_shipping", "returned_items",
     "promo_revenue", "large_orders", "disjunctive_revenue",
     "idle_customers", "min_cost_supplier", "grouping_sets_pricing",
-    "ann_ivf_pq_topk",
-    "forecast_revenue", "order_count_distribution",
+    "ann_ivf_pq_topk", "forecast_revenue", "order_count_distribution",
     "small_quantity_revenue", "market_share",
     "late_exclusive_suppliers", "important_parts", "doc_chunks",
-    # late_exclusive_suppliers_sql is the SQL-text twin of the row
-    # above (same oracle) — its slot goes to the new funnel family
     "funnel_conversion", "best_revenue_supplier",
     "stream_enriched_totals", "events_props_variant",
-    "ann_lsh_topk_multiprobe",
-    "ann_ivf_trained_topk", "ann_pq_trained_topk",
-    "sequence_packing",
-    "stratified_sample",
-    "hof_gauntlet",
-    # batch-5: the Python-UDTF surface (no driver row yet) takes
-    # corpus_curation's slot (r04-green, code unchanged this round →
-    # tail); doc_provenance's pinned-value oracle makes local evidence
-    # sufficient, so it starts in the tail.
-    "sentence_split_udtf",
-    # batch-4 additions (no driver row yet): banded range join,
-    # SemDeDup, per-source quota curation, Z-order layout keys. They
-    # displace ann_ivf_topk, dedup_embedding_clusters, quality_filter
-    # and ann_lsh_topk_single_baseline (all r04-green, code unchanged
-    # this round → tail).
-    "incident_event_counts", "semdedup_keep",
-    "source_quota_sample", "zorder_values",
-    # batch-3 additions (no driver row yet); they displace
-    # window_function_gauntlet + events_rolling_hour +
-    # similarity_topk_q8 (r04-green, unchanged this round → tail).
-    "asof_latest_order_cogroup", "bigram_counts", "bigram_lm_scores",
-    # second round-5 batch (no driver row yet): the remaining TPC-H
-    # shapes (Q9/Q12/Q16/Q20 adaptations) and the Lee-et-al
-    # repeated-span detector. They displace five r04-green entries
-    # whose code is unchanged this round (ann_hamming_topk,
-    # ann_pq_adc_topk, ann_ivf_hamming_topk, dedup_embedding_cosine,
-    # explode_variants → tail).
-    "nation_profit", "shipmode_priority", "parts_supplier_counts",
-    "excess_shippers", "repeated_ngrams",
-]
-
-# Outside the driver's 50-row window this round (every one has a green
-# driver row ≤2 rounds old; all are still oracle-checked locally at
-# sf0.001 by tests/test_oracle_parity and at sf0.01 by
-# tools/check_oracles.py every round):
-_TAIL = [
-    # moved out this round to make room for the round-5 pack — all
-    # have green r04 driver rows and unchanged code:
+    "ann_lsh_topk_multiprobe", "ann_ivf_trained_topk",
+    "ann_pq_trained_topk", "sequence_packing", "stratified_sample",
+    "hof_gauntlet", "sentence_split_udtf", "semdedup_keep",
+    "source_quota_sample", "zorder_values", "asof_latest_order_cogroup",
+    "bigram_counts", "bigram_lm_scores", "nation_profit",
+    "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
+    # r4-green (age 2): the r7 cohort (45 entries, 5 slots spare).
     "ann_ivf_topk", "dedup_embedding_clusters", "quality_filter",
     "ann_lsh_topk_single_baseline", "corpus_curation",
-    # batch-5/6 entries starting in the tail: the 50-slot window is
-    # saturated with never-driver-proven round-5 code; these carry
-    # exact-green check_oracles evidence at sf0.01 AND the 3× scaled
-    # dir plus per-op pytests, and are compositions of window-proven
-    # primitives (hidden-col projection; eqNullSafe hash join;
-    # partial-agg re-aggregation).
-    "doc_provenance", "null_safe_join", "incremental_merge_counts",
-    "events_hourly_gapfill", "cohort_retention",
-    "dedup_cluster_sizes", "vocab_oov_rate", "source_mixture_weights",
-    "customer_running_totals_pandas", "late_exclusive_suppliers_sql",
-    "conditional_agg_flags",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
     "dedup_embedding_cosine", "explode_variants",
     "window_function_gauntlet", "events_rolling_hour",
-    "similarity_topk_q8",
-    "dedup_ngram_jaccard", "token_counts_bpe",
+    "similarity_topk_q8", "dedup_ngram_jaccard", "token_counts_bpe",
     "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type", "sliding_windows",
-    "top_events_per_user", "pagerank_df_quirk",
-    "pagerank_topk", "kmeans_followers",
-    "pivot_event_counts", "unpivot_event_counts",
-    "top_supplier", "salted_join", "decontamination",
-    "ann_lsh_topk_multi", "multimodal_meta",
-    "dedup_clusters", "dedup_clusters_star",
-    "sentence_stats", "text_normalize",
-    "inverted_index", "bm25_topk",
-    "follower_sum", "max_filter", "distinct_pairs",
-    "right_outer_join", "explode_tokens", "salted_follower_count",
+    "distinct_users_per_type", "sliding_windows", "top_events_per_user",
+    "pagerank_df_quirk", "pagerank_topk", "kmeans_followers",
+    "pivot_event_counts", "unpivot_event_counts", "top_supplier",
+    "salted_join", "decontamination", "ann_lsh_topk_multi",
+    "multimodal_meta", "dedup_clusters", "dedup_clusters_star",
+    "sentence_stats", "text_normalize", "inverted_index", "bm25_topk",
+    "follower_sum", "max_filter", "distinct_pairs", "right_outer_join",
+    "explode_tokens", "salted_follower_count",
     "triangle_count_broadcast", "triangle_count_capped",
-    "follower_count", "window_events",
-    "udaf_weighted_avg", "pricing_summary", "similarity_topk",
-    "events_props_json", "sales_rollup",
-    "asof_latest_order", "session_windows", "quantity_percentiles",
-    "pagerank_general", "dedup_minhash_lsh",
-    "doc_fingerprints",
-    "text_stats",
-    "grouped_sum", "grouped_min_max", "global_agg", "grouped_collect",
-    "case_when", "scalar_gauntlet",
-    "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
-    "top_k", "union_reagg",
-    "pagerank_idfilter", "sssp_distances", "sssp_paths",
-    "triangle_count", "kmeans_centroids", "dedup_exact",
-    "simhash_fingerprints",
 ]
 
 

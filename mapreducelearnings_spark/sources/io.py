@@ -181,9 +181,16 @@ def compact_parquet(
     incremental sinks that accrete thousands of tiny files (each file
     costs a task + open + footer parse at read time; at 100 TB the
     file COUNT, not the bytes, becomes the scheduler bottleneck).
-    Rewrites the dataset into ``target_files`` files via the same
-    write-new + atomic-rename-swap publish the streaming upsert sink
-    uses, so concurrent readers never observe a half-written dir."""
+    Rewrites the dataset into ``target_files`` files, then publishes by
+    directory rename. SINGLE-WRITER / NO-CONCURRENT-READER semantics:
+    readers never see a HALF-WRITTEN dataset (the new files are staged
+    under ``.__compact_new``), but between the two renames below the
+    live path briefly does not exist, so a concurrent read can fail
+    with path-not-found — schedule compaction in the maintenance window,
+    or use a table format with a manifest/metadata pointer (the real
+    100 TB answer) for lock-free swaps. Crash recovery: if the process
+    dies between the renames, the data is intact under
+    ``<path>.__compact_old`` — restore with a single rename back."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

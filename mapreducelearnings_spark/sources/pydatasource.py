@@ -227,15 +227,23 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages):
         """Driver-side publish: exactly the attempts Spark reports as
         successful are renamed to visible part files; stray temp files
-        from failed/speculative attempts are swept."""
+        from failed/speculative attempts are swept. mode('overwrite')
+        clears every pre-existing part file FIRST — a re-save with fewer
+        partitions must not leave stale part-NNNNN files from the prior
+        run mixed into the new data — and mode('append') publishes under
+        a fresh uuid suffix so successive saves never collide on the
+        part index."""
         import glob
         import os
+        import uuid
 
-        committed = set()
+        if self.overwrite:
+            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(stale)
+        run = uuid.uuid4().hex[:8]
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{i:05d}-{run}.jsonl")
             os.replace(m.tmp_file, final)
-            committed.add(final)
         for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
             os.remove(orphan)
 

@@ -106,26 +106,10 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
-DOCS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("lang", T.StringType()),
-        T.StructField("source", T.StringType()),
-        T.StructField("n_chars", T.LongType()),
-    ]
-)
-
-
-def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents parquet — the ingest shape
-    of a crawl feed. No watermark: the consumers below are stateless."""
-    return (
-        spark.readStream.schema(DOCS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+# NOTE: stream_documents (and DOCS_RAW_SCHEMA) are defined ONCE, in the
+# streaming-near-dup section below — a second copy here used to shadow
+# it at import time. The quality gate is stateless, so the watermark the
+# shared source attaches is inert for it.
 
 
 def run_quality_gate_stream_to_memory(

@@ -1,0 +1,94 @@
+"""Oracle/Spark output-type parity lint.
+
+The driver's correctness gate hashes TYPED values (pandas dtype-aware
+canonicalization), so a value-level-equal result can still hash-mismatch
+when the oracle's output type class differs from Spark's. The one
+observed instance: DuckDB widens integer ``SUM()`` to HUGEINT (int128),
+which the driver distinguishes from Spark's bigint — this kept
+``shipmode_priority`` red for five rounds while every value-level local
+check stayed green (VERDICT r05 "What's wrong" #1). These helpers map
+both engines' type strings onto a shared class vocabulary so the lint
+(tests/test_registry_lint.py) and the local mimic
+(tools/check_oracles.py) fail the moment an oracle leaves an aggregate
+uncast.
+"""
+
+from __future__ import annotations
+
+_DUCK_INTS = frozenset(
+    {
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    }
+)
+
+
+def duck_type_class(t: str) -> str:
+    """Canonical class for a DuckDB DESCRIBE type string.
+
+    HUGEINT/UHUGEINT map to their own class on purpose: they are the
+    known driver-hash divergence against Spark's bigint.
+    """
+    t = t.upper()
+    if t.endswith("[]"):
+        return "array"
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in _DUCK_INTS:
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t in ("BLOB", "BYTEA"):
+        return "binary"
+    return t.lower()
+
+
+def spark_type_class(t: str) -> str:
+    """Canonical class for a Spark ``DataType.simpleString()``."""
+    if t.startswith("array"):
+        return "array"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t.startswith("decimal"):
+        return "decimal"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t
+
+
+def type_mismatches(sdf, con, oracle_sql: str) -> list[tuple[str, str, str]]:
+    """Column-level (name, spark_class, oracle_class) diffs.
+
+    ``con`` is a DuckDB connection with the tables registered as views;
+    DESCRIBE plans the oracle without executing it, so this is cheap
+    enough to run on every parity check.
+    """
+    duck = {
+        name: duck_type_class(typ)
+        for name, typ, *_ in con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    }
+    out = []
+    for f in sdf.schema.fields:
+        sc = spark_type_class(f.dataType.simpleString())
+        oc = duck.get(f.name)
+        if oc is not None and sc != oc:
+            out.append((f.name, sc, oc))
+    return out

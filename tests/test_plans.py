@@ -398,3 +398,43 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
             assert forbid not in p, (hint, p[:500])
         counts.add(j.count())
     assert len(counts) == 1  # all three strategies agree on the result
+
+
+def test_batch_sessionize_single_exchange(spark, sf_dir):
+    """Both window passes (lag flag, running session-id) and the final
+    per-session groupBy cluster on user_id — Catalyst must plan ONE
+    hash exchange and reuse it for all three operators."""
+    plan = plan_of(spark, sf_dir, "batch_sessionize")
+    assert plan.count("- Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_scd2_intervals_single_exchange(spark, sf_dir):
+    """Lag-dedup filter + lead + is-current all run inside the same
+    HashPartitioning(user_id) window stage: one exchange, no sort-merge
+    join, no cartesian."""
+    plan = plan_of(spark, sf_dir, "scd2_event_intervals")
+    assert plan.count("- Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_weighted_sample_priority_take_ordered(spark, sf_dir):
+    """Priority sampling is scan -> TakeOrderedAndProject (bounded
+    per-task heaps, k-row driver result) — no global sort, no shuffle
+    of the corpus."""
+    plan = plan_of(spark, sf_dir, "weighted_sample_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_secondary_sort_single_exchange(spark, sf_dir):
+    """The declarative secondary sort is ONE aggregation on the group
+    key (collect_list is partial-aggregable via ObjectHashAggregate):
+    one exchange on l_suppkey, and the in-group ordering comes from
+    array_sort, not a cluster-wide sort."""
+    plan = plan_of(spark, sf_dir, "secondary_sort_orders")
+    assert plan.count("- Exchange (") == 1
+    assert "hashpartitioning(l_suppkey" in plan
+    assert "ObjectHashAggregate" in plan
+    assert "Exchange rangepartitioning" not in plan

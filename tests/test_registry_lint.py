@@ -1,15 +1,26 @@
 """Registry-wide output-contract lint.
 
-The driver canonicalizes every query result through a pandas
-``sort_values`` over all columns before hashing; a raw ``array<>``,
-``map<>`` or ``struct<>`` output column makes that factorization throw
-``TypeError: unhashable type`` and the row goes red regardless of the
-values (this killed ``hof_gauntlet`` in round 4). The rule since round 1
-is: stringify complex outputs (``F.array_join`` / ``F.to_json``) in both
-the Spark query and its oracle. This lint enforces it statically for the
-whole registry so no future entry can re-introduce the failure mode —
-the dynamic twin lives in ``conftest.assert_driver_hashable``, run on
-every oracle-parity collect.
+Two static rules, both learned from real driver reds:
+
+1. **Hashability** — the driver canonicalizes every query result through
+   a pandas ``sort_values`` over all columns before hashing; a raw
+   ``array<>``, ``map<>`` or ``struct<>`` output column makes that
+   factorization throw ``TypeError: unhashable type`` and the row goes
+   red regardless of the values (this killed ``hof_gauntlet`` in round
+   4). Rule: stringify complex outputs (``F.array_join`` / ``F.to_json``)
+   in both the Spark query and its oracle. The dynamic twin lives in
+   ``conftest.assert_driver_hashable``, run on every oracle-parity
+   collect.
+
+2. **Type classes** — the driver hashes TYPED values, so an oracle whose
+   output type class differs from Spark's hash-mismatches even when
+   every value is equal. The observed instance: DuckDB widens integer
+   ``SUM()`` to HUGEINT (int128) where Spark produces bigint — this
+   kept ``shipmode_priority`` red for five rounds while the value-level
+   local checks stayed green (VERDICT r05). Rule: cast oracle aggregates
+   (``CAST(SUM(...) AS BIGINT)``) so both engines agree on the class.
+   DESCRIBE plans the oracle without executing it, so this lint is
+   static and cheap.
 """
 
 from __future__ import annotations
@@ -19,12 +30,13 @@ import pytest
 from pyspark.sql.types import ArrayType, MapType, StructType
 
 from mapreducelearnings_spark.queries import REGISTRY
+from mapreducelearnings_spark.typelint import type_mismatches
 
 from .conftest import SF_SMOKE
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_output_schema_is_driver_hashable(name, spark):
+def test_output_contract(name, spark, duck):
     df = REGISTRY[name].spark(spark, SF_SMOKE)
     complex_cols = [
         (f.name, f.dataType.simpleString())
@@ -36,3 +48,11 @@ def test_output_schema_is_driver_hashable(name, spark):
         "them (array_join/to_json) so the driver canonicalizer can hash "
         "the result"
     )
+    oracle = REGISTRY[name].oracle
+    if oracle is not None:
+        bad = type_mismatches(df, duck, oracle)
+        assert bad == [], (
+            f"{name}: output type classes differ (col, spark, oracle): "
+            f"{bad} — the driver hashes typed values; cast the oracle "
+            "(e.g. SUM -> CAST(... AS BIGINT))"
+        )

@@ -544,3 +544,95 @@ def test_python_datasource_jsonl_sink_commit_protocol(spark, sf_dir, tmp_path):
         )
     leftover = os.listdir(bad) if os.path.exists(bad) else []
     assert not [n for n in leftover if n.startswith("part-")]
+
+
+def test_python_datasource_jsonl_sink_overwrite_and_append(
+    spark, sf_dir, tmp_path
+):
+    """Re-save semantics: mode('overwrite') over a previous run with
+    MORE partitions must clear every stale part file (fewer new
+    partitions ⇒ stale part-NNNNN residue would silently corrupt the
+    dataset), and back-to-back mode('append') saves must not collide on
+    part indices — the second save adds rows instead of clobbering the
+    first run's part-00000."""
+    import os
+
+    from mapreducelearnings_spark.sources.pydatasource import (
+        register_jsonl_sink,
+    )
+
+    register_jsonl_sink(spark)
+    edges = follower_edges(spark, sf_dir).limit(120)
+
+    out = str(tmp_path / "jsonl_over")
+    edges.repartition(6).write.format("pyjsonl").mode("overwrite").option(
+        "path", out
+    ).save()
+    assert len(os.listdir(out)) == 6
+    small = edges.limit(40)
+    small.repartition(2).write.format("pyjsonl").mode("overwrite").option(
+        "path", out
+    ).save()
+    assert len([n for n in os.listdir(out) if n.startswith("part-")]) == 2
+    back = spark.read.schema("dst long, src long").json(out)
+    assert sorted(map(tuple, back.select("src", "dst").collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+    ap = str(tmp_path / "jsonl_app")
+    small.repartition(2).write.format("pyjsonl").mode("append").option(
+        "path", ap
+    ).save()
+    small.repartition(2).write.format("pyjsonl").mode("append").option(
+        "path", ap
+    ).save()
+    assert len([n for n in os.listdir(ap) if n.startswith("part-")]) == 4
+    back2 = spark.read.schema("dst long, src long").json(ap)
+    assert back2.count() == 2 * small.count()
+
+
+def test_secondary_sort_rdd_twin_matches(spark, sf_dir):
+    """The MR-native secondary sort — repartitionAndSortWithinPartitions
+    on a (group, sort) composite key with a group-only partitioner, then
+    a streaming per-partition group walk — must produce exactly the
+    registered declarative query's output. This is the 100 TB fallback
+    for groups too large to collect_list: values arrive at the reducer
+    already ordered, O(1) memory per group."""
+    from mapreducelearnings_spark.queries import REGISTRY
+
+    n_parts = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    pairs = li.rdd.map(
+        lambda r: (
+            (r.l_suppkey, (r.l_shipdate, r.l_orderkey, r.l_linenumber)),
+            r.l_orderkey,
+        )
+    )
+    shuffled = pairs.repartitionAndSortWithinPartitions(
+        numPartitions=n_parts, partitionFunc=lambda k: hash(k[0]) % n_parts
+    )
+
+    def walk_groups(it):
+        cur, acc = None, []
+        for (suppkey, _sort_key), orderkey in it:
+            if suppkey != cur:
+                if cur is not None:
+                    yield (cur, len(acc), ",".join(acc))
+                cur, acc = suppkey, []
+            acc.append(str(orderkey))
+        if cur is not None:
+            yield (cur, len(acc), ",".join(acc))
+
+    rdd_rows = sorted(shuffled.mapPartitions(walk_groups).collect())
+    df_rows = sorted(
+        map(
+            tuple,
+            REGISTRY["secondary_sort_orders"]
+            .spark(spark, sf_dir)
+            .select("l_suppkey", "n_items", "ordered_orders")
+            .collect(),
+        )
+    )
+    assert rdd_rows == df_rows

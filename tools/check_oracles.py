@@ -45,6 +45,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from mapreducelearnings_spark.session import get_spark
+    from mapreducelearnings_spark.typelint import type_mismatches
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -96,6 +97,19 @@ def main() -> int:
         if len(srows) != len(orows):
             failures.append((name, f"rowcount spark={len(srows)} oracle={len(orows)}"))
             print(f"FAIL  {name}: rowcount {len(srows)} vs {len(orows)}")
+            continue
+        try:
+            bad_types = type_mismatches(sdf, con, oracles[name])
+        except Exception as e:  # DESCRIBE should never fail if execute passed
+            bad_types = []
+            print(f"warn  {name}: DESCRIBE failed: {e}")
+        if bad_types:
+            failures.append((name, f"type classes differ: {bad_types}"))
+            print(
+                f"FAIL  {name}: output type classes differ "
+                f"(col, spark, oracle): {bad_types} — the driver hashes "
+                "TYPED values; cast the oracle (e.g. SUM→CAST(... AS BIGINT))"
+            )
             continue
         ns, no = normalize(srows, scols), normalize(orows, ocols)
         if ns != no:
