@@ -114,3 +114,37 @@ def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return tokens.groupBy(F.lower(F.col("token")).alias("token")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def ordered_group_concat(
+    df: DataFrame,
+    key_col: str,
+    sort_cols: Sequence[str],
+    payload_col: str,
+    out_col: str = "ordered_values",
+    sep: str = ",",
+) -> DataFrame:
+    """MapReduce SECONDARY SORT, declaratively: per ``key_col``, the
+    ``payload_col`` values concatenated in ``sort_cols`` order. MR
+    achieves this with a composite shuffle key + grouping comparator;
+    here it is collect_list of (sort-key..., payload) structs +
+    array_sort + transform inside ONE ObjectHashAggregate — no per-key
+    sort job. ``sort_cols`` must be a total order (add a unique
+    tiebreaker) or the concatenation is nondeterministic. For groups
+    too large to collect_list, the RDD
+    ``repartitionAndSortWithinPartitions`` twin (parity-tested in
+    tests/test_sources_and_parity.py) streams values in order with
+    O(1) memory per group."""
+    fields = list(sort_cols)
+    if payload_col not in fields:
+        fields.append(payload_col)
+    sorted_structs = F.array_sort(F.collect_list(F.struct(*fields)))
+    return df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.array_join(
+            F.transform(
+                sorted_structs, lambda x: x[payload_col].cast("string")
+            ),
+            sep,
+        ).alias(out_col),
+    )

@@ -98,3 +98,41 @@ def contamination_flags(
             "contaminated"
         ),
     )
+
+
+# Priority sampling (Duffield/Lund/Thorup JACM'07): priority q = w/u,
+# u ~ Uniform(0,1]; top-k by q is a weighted sample without replacement.
+PRIO_MOD = 1 << 20
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    mod: int = PRIO_MOD,
+) -> DataFrame:
+    """Deterministic weighted top-k sample: u is md5-derived (no RNG),
+    priority = weight/u is ONE IEEE division of exactly-representable
+    integers — bit-identical across engines and runs, so the sample is
+    auditable and the ORDER BY boundary is deterministic. Plan: scan →
+    TakeOrderedAndProject, zero shuffles. Output keeps the raw
+    ``priority`` column quantized to 4 decimals via IEEE floor
+    arithmetic (the cross-engine-exact rounding form)."""
+    from ..functions import text as X
+
+    u = (X.md5_long(F.col(id_col).cast("string")) % mod).alias("_u")
+    w = docs.select(id_col, weight_col, u)
+    priority = (F.col(weight_col) * (2 * mod)).cast("double") / (
+        F.col("_u") * 2 + 1
+    ).cast("double")
+    return (
+        w.select(id_col, weight_col, priority.alias("_pri"))
+        .orderBy(F.col("_pri").desc(), id_col)
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            (F.floor(F.col("_pri") * 10000 + 0.5) / 10000).alias("priority"),
+        )
+    )

@@ -5485,7 +5485,7 @@ _SESSION_GAP_SEC = 1800
     "bounded by the busiest single user.",
 )
 def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators import eventlog as EL
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -5493,22 +5493,7 @@ def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("ts_sec"),
         "value",
     )
-    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
-    prev = F.lag("ts_sec").over(w)
-    is_new = F.when(
-        prev.isNull() | (F.col("ts_sec") - prev > _SESSION_GAP_SEC), 1
-    ).otherwise(0)
-    sessions = ev.withColumn("is_new", is_new).withColumn(
-        "session_idx",
-        F.sum("is_new")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
-    )
-    return sessions.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
-    )
+    return EL.sessionize(ev, gap_sec=_SESSION_GAP_SEC)
 
 
 @register(
@@ -5539,7 +5524,7 @@ def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deterministic ordering via the (ts_sec, event_id) tiebreak.",
 )
 def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .operators import eventlog as EL
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -5547,19 +5532,7 @@ def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_timestamp("ts").alias("ts_sec"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
-    prev_t = F.lag("event_type").over(w)
-    changes = ev.withColumn("prev_t", prev_t).where(
-        F.col("prev_t").isNull() | (F.col("prev_t") != F.col("event_type"))
-    )
-    valid_to = F.lead("ts_sec").over(w)
-    return changes.select(
-        "user_id",
-        "event_type",
-        F.col("ts_sec").alias("valid_from_sec"),
-        valid_to.alias("valid_to_sec"),
-        valid_to.isNull().alias("is_current"),
-    )
+    return EL.scd2_intervals(ev)
 
 
 @register(
@@ -5587,19 +5560,12 @@ def q_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_secondary_sort_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    sorted_structs = F.array_sort(
-        F.collect_list(
-            F.struct("l_shipdate", "l_orderkey", "l_linenumber")
-        )
-    )
-    return li.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.array_join(
-            F.transform(
-                sorted_structs, lambda x: x["l_orderkey"].cast("string")
-            ),
-            ",",
-        ).alias("ordered_orders"),
+    return R.ordered_group_concat(
+        li,
+        "l_suppkey",
+        ("l_shipdate", "l_orderkey", "l_linenumber"),
+        "l_orderkey",
+        out_col="ordered_orders",
     )
 
 
@@ -5642,28 +5608,10 @@ _PRIO_K = 50
     "the mix without touching the mechanism.",
 )
 def q_weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions import text as X
+    from .pipeline import sampling as SA2
 
     docs = load_table(spark, sf_dir, "documents")
-    u = (X.md5_long(F.col("doc_id").cast("string")) % _PRIO_MOD).alias("u")
-    w = docs.select("doc_id", "n_chars", u)
-    priority = (F.col("n_chars") * (2 * _PRIO_MOD)).cast("double") / (
-        F.col("u") * 2 + 1
-    ).cast("double")
-    return (
-        w.select(
-            "doc_id",
-            "n_chars",
-            priority.alias("_pri"),
-        )
-        .orderBy(F.col("_pri").desc(), "doc_id")
-        .limit(_PRIO_K)
-        .select(
-            "doc_id",
-            "n_chars",
-            (F.floor(F.col("_pri") * 10000 + 0.5) / 10000).alias("priority"),
-        )
-    )
+    return SA2.priority_sample(docs, k=_PRIO_K, mod=_PRIO_MOD)
 
 
 # ===========================================================================

@@ -179,3 +179,194 @@ def test_morton_spread_is_injective_and_orders_locally(pairs):
         assert unspread((z >> 1) & 0x55555555) == tx
         zvals[z] = (ux, tx)
     assert len(zvals) == len(pairs)  # injective
+
+
+# --- round-6 event-log + sampling operators -------------------------------
+
+event_lists = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # user
+        st.integers(0, 4000),   # ts_sec
+        st.floats(-5, 5, allow_nan=False, width=32),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=event_lists)
+def test_sessionize_matches_python_reference(spark, events):
+    """Gap sessionization vs a sequential per-user reference: same
+    session count, sizes, durations and (rounded) value sums on random
+    event streams."""
+    from mapreducelearnings_spark.operators import eventlog as EL
+
+    rows = [
+        (u, i, t, float(v)) for i, (u, t, v) in enumerate(events)
+    ]  # event_id = input index (unique tiebreak)
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts_sec: long, value: double"
+    )
+    got = sorted(
+        map(tuple, EL.sessionize(df, gap_sec=100).collect())
+    )
+
+    # sequential reference
+    by_user: dict[int, list] = {}
+    for u, i, t, v in rows:
+        by_user.setdefault(u, []).append((t, i, v))
+    expect = []
+    for u, evs in by_user.items():
+        evs.sort()
+        sess, cur = [], []
+        for t, i, v in evs:
+            if cur and t - cur[-1][0] > 100:
+                sess.append(cur)
+                cur = []
+            cur.append((t, i, v))
+        sess.append(cur)
+        for idx, s in enumerate(sess, start=1):
+            ts = [t for t, _, _ in s]
+            expect.append(
+                (
+                    u,
+                    idx,
+                    len(s),
+                    max(ts) - min(ts),
+                    round(sum(v for _, _, v in s), 4),
+                )
+            )
+    expect.sort()
+    assert [(r[0], r[1], r[2], r[3]) for r in got] == [
+        (e[0], e[1], e[2], e[3]) for e in expect
+    ]
+    for g, e in zip(got, expect):
+        assert abs(g[4] - e[4]) < 1e-6  # float-sum association tolerance
+
+
+@settings(max_examples=8, deadline=None)
+@given(events=event_lists)
+def test_scd2_intervals_reconstruct_pointwise_state(spark, events):
+    """SCD2 compaction must be a lossless state encoding: for every
+    original event timestamp, the interval covering it yields exactly
+    the state the raw (latest-change-wins) log gives at that instant;
+    intervals per key must also tile without overlap."""
+    from mapreducelearnings_spark.operators import eventlog as EL
+
+    rows = [
+        (u, i, t, ["a", "b", "c"][int(abs(v)) % 3])
+        for i, (u, t, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts_sec: long, event_type: string"
+    )
+    got = EL.scd2_intervals(
+        df, state_col="event_type"
+    ).collect()
+
+    by_user: dict[int, list] = {}
+    for u, i, t, s in rows:
+        by_user.setdefault(u, []).append((t, i, s))
+    for u in by_user:
+        by_user[u].sort()
+
+    iv_by_user: dict[int, list] = {}
+    for r in got:
+        iv_by_user.setdefault(r.user_id, []).append(
+            (r.valid_from_sec, r.valid_to_sec, r.event_type, r.is_current)
+        )
+    assert set(iv_by_user) == set(by_user)
+    for u, ivs in iv_by_user.items():
+        ivs.sort(key=lambda x: x[0])
+        # tiling: each interval's end is the next one's start; last is open
+        for a, b in zip(ivs, ivs[1:]):
+            assert a[1] == b[0] and a[3] is False
+        assert ivs[-1][1] is None and ivs[-1][3] is True
+        # pointwise state reconstruction at every event timestamp
+        for t, i, _ in by_user[u]:
+            state_ref = max(
+                (x for x in by_user[u] if x[0] <= t), key=lambda x: (x[0], x[1])
+            )[2]
+            covering = [
+                s for lo, hi, s, _ in ivs if lo <= t and (hi is None or t < hi)
+            ]
+            if covering:  # boundary rows where a later same-ts event changed
+                assert len(covering) == 1
+                # state: compare against the last change <= t in change order
+                changes = []
+                prev = None
+                for tt, ii, ss in by_user[u]:
+                    if prev is None or ss != prev:
+                        changes.append((tt, ii, ss))
+                    prev = ss
+                ref = max(
+                    (c for c in changes if c[0] <= t),
+                    key=lambda c: (c[0], c[1]),
+                )[2]
+                assert covering[0] == ref
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ordered_group_concat_matches_python_reference(spark, groups):
+    """Secondary sort vs sorted() — payload order inside each group must
+    be exactly the composite-key sort order."""
+    from mapreducelearnings_spark.operators import relational as RL
+
+    rows = [(k, s, i) for i, (k, s, _) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "k: long, s: long, pid: long")
+    got = {
+        r.k: (r.n_items, r.ordered_values)
+        for r in RL.ordered_group_concat(df, "k", ("s", "pid"), "pid").collect()
+    }
+    expect: dict[int, list] = {}
+    for k, s, pid in rows:
+        expect.setdefault(k, []).append((s, pid))
+    for k, vals in expect.items():
+        vals.sort()
+        assert got[k] == (len(vals), ",".join(str(p) for _, p in vals))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 5000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda d: d[0],
+    ),
+    k=st.integers(1, 10),
+)
+def test_priority_sample_matches_python_reference(spark, docs, k):
+    """Priority sampling vs an exact-fraction Python reference: the
+    md5-derived priorities admit an exact rational ordering
+    (w·2M)/(2u+1), so the selected id set must match exactly."""
+    import hashlib
+    from fractions import Fraction
+
+    from mapreducelearnings_spark.pipeline import sampling as SA
+
+    df = spark.createDataFrame(docs, "doc_id: long, n_chars: long")
+    got = [r.doc_id for r in SA.priority_sample(df, k=k).collect()]
+
+    def u(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:15], 16) % SA.PRIO_MOD
+
+    # exact rational priority; ties broken by doc_id ascending
+    ranked = sorted(
+        docs,
+        key=lambda d: (
+            -Fraction(d[1] * 2 * SA.PRIO_MOD, 2 * u(d[0]) + 1),
+            d[0],
+        ),
+    )
+    expect = [d[0] for d in ranked[:k]]
+    assert got == expect
