@@ -455,3 +455,30 @@ def test_stream_static_interval_join_matches_batch(spark, sf_dir):
         for r in REGISTRY["incident_event_counts"].spark(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_lsh_drain_is_single_data_batch(spark, sf_dir):
+    """Scale-shape regression pin (PERFORMANCE.md round-6 follow-up):
+    the availableNow LSH drain must process the whole bounded source in
+    ONE data micro-batch (plus the empty watermark-advance finish
+    batch). If a source option or trigger change ever splits the drain
+    into per-file batches, the per-batch state-store overhead multiplies
+    and the 3x scale ratio regresses — this pins the shape that keeps
+    the ratio at 1.4."""
+    from mapreducelearnings_spark.plans.iterate import loop_conf
+    from mapreducelearnings_spark.streaming import windows as SW
+
+    with loop_conf(spark, 8):
+        q = (
+            SW.streaming_lsh_candidates(SW.stream_documents(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_slsh_batches")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 1
+    assert len(progress) <= 2
