@@ -438,3 +438,64 @@ def test_secondary_sort_single_exchange(spark, sf_dir):
     assert "hashpartitioning(l_suppkey" in plan
     assert "ObjectHashAggregate" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The FIRST line of defense for skewed joins (functions/skew.py
+    docstring) is AQE's runtime skew split — prove it fires: a join
+    where one key holds ~300x the rows must re-plan at runtime to
+    SortMergeJoin(skew=true), splitting the hot partition instead of
+    serializing it on one task. The manual two-sided salting twin
+    (salted_join) stays the fallback for engines/paths where AQE can't
+    apply. Thresholds are scaled down to fixture size; the plan is read
+    AFTER execution (AQE decides from runtime MapOutputStatistics, so
+    only the executed plan shows the split)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        hot = spark.range(0, 300_000).select(
+            (F.col("id") * 0).alias("k"), F.col("id").alias("v")
+        )
+        spread = spark.range(0, 1000).select(
+            (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+        )
+        right = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        # the (v+w) residual references both sides, so it cannot push
+        # below the join — executing this empty-result probe executes
+        # THIS DataFrame's own query execution, whose final AQE plan we
+        # then inspect (count() would plan a separate execution).
+        probe = (
+            hot.union(spread)
+            .join(right, "k")
+            .where(F.col("v") + F.col("w") < -1)
+        )
+        assert probe.collect() == []
+        ep = probe._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in ep
+        assert "SortMergeJoin(skew=true)" in ep
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
