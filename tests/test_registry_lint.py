@@ -56,3 +56,14 @@ def test_output_contract(name, spark, duck):
             f"{bad} — the driver hashes typed values; cast the oracle "
             "(e.g. SUM -> CAST(... AS BIGINT))"
         )
+
+
+def test_correctness_window_is_exactly_fifty():
+    """The driver hashes REGISTRY[:50]; a window that silently grows
+    past 50 would push its tail entries out of the driver's gate while
+    the rotation comment still claims they're covered."""
+    from mapreducelearnings_spark.queries import _CORRECTNESS_WINDOW, _TAIL, REGISTRY
+
+    assert len(_CORRECTNESS_WINDOW) == 50
+    assert len(_CORRECTNESS_WINDOW) + len(_TAIL) == len(REGISTRY)
+    assert list(REGISTRY)[:50] == _CORRECTNESS_WINDOW
