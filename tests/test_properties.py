@@ -370,3 +370,55 @@ def test_priority_sample_matches_python_reference(spark, docs, k):
     )
     expect = [d[0] for d in ranked[:k]]
     assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    points=st.lists(
+        st.one_of(
+            st.integers(-(2**62), 2**62),   # far beyond double's 2^52 exactness
+            st.integers(-300, 300),         # dense near zero (sign boundary)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.one_of(
+                st.integers(-(2**62), 2**62 - 10**7),
+                st.integers(-300, 300),
+            ),
+            st.integers(1, 10**6),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    band=st.one_of(st.integers(1, 100), st.integers(10**6, 10**12)),
+)
+def test_banded_interval_join_extreme_magnitudes(spark, points, intervals, band):
+    """The round-6 exact-integer banding fix, locked as a property:
+    correctness must hold for NEGATIVE keys (floor vs truncate-toward-
+    zero divergence at the origin) and for magnitudes far beyond 2^52,
+    where the old double-division band key silently mis-bucketed
+    (nanosecond-epoch territory). Same brute-force reference as the
+    base property test."""
+    from mapreducelearnings_spark.operators.rangejoin import (
+        banded_interval_join,
+    )
+
+    pdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(points)], "pid long, x long"
+    )
+    ivs = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(intervals)]
+    idf = spark.createDataFrame(ivs, "iid long, lo long, hi long")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in banded_interval_join(pdf, idf, "x", "lo", "hi", band).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, x in enumerate(points)
+        for ii, lo, hi in ivs
+        if lo <= x < hi
+    )
+    assert got == want
