@@ -8,11 +8,14 @@ storage); metadata is a first-class struct column so filters on
 mime/size/dims push down WITHOUT touching bytes; decode/feature-extract
 runs in ``mapInPandas`` so bytes move driver-free through Arrow batches.
 
-The decode step itself is STUBBED: the image/audio libraries are not in
-this container. ``decode_image_batch`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic byte-histogram
-"feature" — the Spark-side plumbing (schema, batch iteration, partition
-shape) is real and tested either way.
+Decode is REAL for uncompressed raster payloads (PPM P6 / 24-bit BMP —
+``pipeline.imagecodec``, pure numpy, no external library) and remains
+honestly STUBBED for compressed formats: JPEG/PNG need PIL/cv2, absent
+from this container, so ``decode_image_batch(fake=False)`` raises
+NotImplementedError the moment a non-raster payload appears.
+``fake=True`` keeps the deterministic byte-histogram stand-in for
+arbitrary payloads — the Spark-side plumbing (schema, batch iteration,
+partition shape) is identical on every path.
 """
 
 from __future__ import annotations
@@ -69,13 +72,21 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image_batch(
     payloads: pd.Series, fake: bool = False
 ) -> list[list[float]]:
-    """Decode a batch of image payloads to features. STUB: real decode
-    needs PIL/cv2 (not in this container)."""
+    """Decode a batch of image payloads to feature rows.
+
+    ``fake=False`` REALLY decodes uncompressed rasters (PPM P6 / 24-bit
+    BMP via :mod:`.imagecodec`) to ``[height, width, mean_R, mean_G,
+    mean_B]``; a compressed/unknown payload raises NotImplementedError
+    (JPEG/PNG need PIL/cv2, absent from this container — the gate is
+    now per-payload, not unconditional). ``fake=True`` is the
+    format-agnostic byte-histogram stand-in."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2; run with fake=True for the "
-            "deterministic byte-histogram stand-in"
-        )
+        from . import imagecodec as IC
+
+        return [
+            IC.image_features(IC.decode_image(bytes(blob)))
+            for blob in payloads
+        ]
     out = []
     for blob in payloads:
         hist = [0.0] * 8
@@ -157,24 +168,47 @@ def sample_frames(
 THUMB_BYTES = 32
 
 
+THUMB_SIDE = 8
+
+
 def resize_images(
-    multimodal: DataFrame, thumb_bytes: int = THUMB_BYTES, fake: bool = True
+    multimodal: DataFrame,
+    thumb_bytes: int = THUMB_BYTES,
+    fake: bool = True,
+    thumb_side: int = THUMB_SIDE,
 ) -> DataFrame:
-    """Image resize/thumbnail stage. Real resize needs PIL/cv2 (not in
-    this container) and is STUBBED behind ``fake``; ``fake=True``
-    produces a deterministic fixed-size stand-in (payload truncated /
-    zero-padded to ``thumb_bytes``) so the Spark-side plumbing is real:
-    Arrow batches through mapInPandas, 1→1 rows, output schema carries
-    the thumb alongside refreshed metadata, partitioning inherited. The
-    shape every per-item media transform (resize, re-encode, crop)
-    shares at 100 TB — payload-linear, shuffle-free."""
+    """Image resize/thumbnail stage. ``fake=False`` REALLY resizes
+    uncompressed rasters: decode (PPM/BMP via :mod:`.imagecodec`) →
+    nearest-neighbor resample to ``thumb_side``² → re-encode PPM; a
+    compressed payload raises NotImplementedError (PIL/cv2 territory).
+    ``fake=True`` keeps the format-agnostic truncate/pad stand-in.
+    Either way the Spark-side plumbing is identical: Arrow batches
+    through mapInPandas, 1→1 rows, output schema carries the thumb
+    alongside refreshed metadata, partitioning inherited. The shape
+    every per-item media transform (resize, re-encode, crop) shares at
+    100 TB — payload-linear, shuffle-free."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            raise NotImplementedError(
-                "image resize requires PIL/cv2; run with fake=True for "
-                "the truncate/pad stand-in"
-            )
+            from . import imagecodec as IC
+
+            for pdf in batches:
+                thumbs = [
+                    IC.encode_ppm(
+                        IC.resize_nearest(
+                            IC.decode_image(bytes(b)), thumb_side, thumb_side
+                        )
+                    )
+                    for b in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "thumb": thumbs,
+                        "n_bytes": [len(t) for t in thumbs],
+                    }
+                )
+            return
         for pdf in batches:
             thumbs = [
                 bytes(b)[:thumb_bytes].ljust(thumb_bytes, b"\0")

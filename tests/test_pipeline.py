@@ -896,3 +896,85 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir):
     # the null rows are present and unique per match-less closed event
     nulls = [p for p in got_closed if p[1] is None]
     assert len(nulls) == len({p[0] for p in nulls}) > 0
+
+
+def test_imagecodec_roundtrips_and_sniff():
+    """PPM and BMP codecs are exact round-trips on random uint8 HxWx3
+    arrays (odd widths exercise BMP row padding), headers sniff
+    correctly, and a comment-bearing PPM header parses per spec."""
+    import numpy as np
+
+    from mapreducelearnings_spark.pipeline import imagecodec as IC
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 3), (2, 9)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (IC.decode_ppm(IC.encode_ppm(arr)) == arr).all()
+        assert (IC.decode_bmp(IC.encode_bmp(arr)) == arr).all()
+        assert IC.sniff(IC.encode_ppm(arr)) == "ppm"
+        assert IC.sniff(IC.encode_bmp(arr)) == "bmp"
+    assert IC.sniff(b"\xff\xd8\xff\xe0 jpeg") is None
+    commented = b"P6\n# a comment\n2 1\n# more\n255\n" + bytes(6)
+    assert IC.decode_ppm(commented).shape == (1, 2, 3)
+    # top-down BMP (negative height): rows arrive in natural order
+    arr = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+    import struct as _struct
+
+    blob = bytearray(IC.encode_bmp(arr[::-1]))  # encoder stores bottom-up
+    _struct.pack_into("<i", blob, 22, -2)  # height = -2 -> top-down
+    assert (IC.decode_bmp(bytes(blob)) == arr[::-1][::-1]).all()
+
+
+def test_multimodal_real_decode_and_resize_on_raster_payloads(spark):
+    """fake=False is REAL for uncompressed rasters: PPM and BMP payloads
+    decode through mapInPandas to exact [h, w, meanRGB] features (both
+    pandas and Arrow surfaces), and resize_images produces a true
+    nearest-neighbor thumbnail re-encoded as PPM — golden-checked
+    against the numpy reference. A compressed payload in the same
+    column still trips the per-payload PIL gate."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreducelearnings_spark.pipeline import imagecodec as IC
+
+    grad = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    flat = np.full((2, 3, 3), 9, dtype=np.uint8)
+    rows = [
+        (1, bytearray(IC.encode_ppm(grad))),
+        (2, bytearray(IC.encode_bmp(grad))),
+        (3, bytearray(IC.encode_ppm(flat))),
+    ]
+    mm = spark.createDataFrame(rows, "doc_id: long, payload: binary")
+    feats = {
+        r["doc_id"]: list(r["feature"])
+        for r in MM.extract_features(mm, fake=False).collect()
+    }
+    expect_grad = IC.image_features(grad)
+    assert feats[1] == expect_grad
+    assert feats[2] == expect_grad          # BMP decodes to the same pixels
+    assert feats[3] == [2.0, 3.0, 9.0, 9.0, 9.0]
+    arrow = {
+        r["doc_id"]: list(r["feature"])
+        for r in MM.extract_features_arrow(mm, fake=False).collect()
+    }
+    assert arrow == feats
+
+    thumbs = {
+        r["doc_id"]: bytes(r["thumb"])
+        for r in MM.resize_images(mm, fake=False, thumb_side=2).collect()
+    }
+    want = IC.encode_ppm(IC.resize_nearest(grad, 2, 2))
+    assert thumbs[1] == want and thumbs[2] == want
+    # nearest-neighbor picks pixel centers: rows/cols 1 and 3 of the 4x4
+    assert (
+        IC.decode_ppm(thumbs[1]) == grad[[1, 3]][:, [1, 3]]
+    ).all()
+
+    jpeg_like = spark.createDataFrame(
+        [(9, bytearray(b"\xff\xd8\xff\xe0 not a raster"))],
+        "doc_id: long, payload: binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        MM.extract_features(jpeg_like, fake=False).collect()
+    with pytest.raises(NotImplementedError):
+        MM.decode_image_batch(pd.Series([b"\x89PNG\r\n"]), fake=False)
