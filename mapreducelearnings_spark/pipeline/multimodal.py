@@ -131,19 +131,44 @@ def sample_frames(
     """Frame sampling for video-ish payloads: keep every ``every``-th
     frame of each payload, exploding one row per kept frame — the
     pre-processing step that turns a video corpus into an image corpus
-    for feature extraction. Real container demux needs ffmpeg/av (not
-    in this container) and is STUBBED behind ``fake``; ``fake=True``
-    treats the payload as raw concatenated ``frame_bytes``-sized frames,
-    which exercises the real scale plumbing: Arrow batches in, a
-    row-EXPANDING mapInPandas out (one input row → many frame rows), no
-    driver involvement, output partitioning inherited from the scan."""
+    for feature extraction. ``fake=False`` REALLY demuxes uncompressed
+    YUV4MPEG2 (Y4M) streams (:mod:`.avcodec` — header parse + FRAME
+    splits, planes kept opaque exactly like a real demuxer); compressed
+    containers (MP4/MKV/...) raise NotImplementedError per payload
+    (ffmpeg/av territory). ``fake=True`` treats the payload as raw
+    concatenated ``frame_bytes``-sized frames. Either way the scale
+    plumbing is identical: Arrow batches in, a row-EXPANDING
+    mapInPandas out (one input row → many frame rows), no driver
+    involvement, output partitioning inherited from the scan."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
-            raise NotImplementedError(
-                "video frame demux requires ffmpeg/av; run with fake=True "
-                "for the fixed-size-window stand-in"
-            )
+            from . import avcodec as AV
+
+            for pdf in batches:
+                ids, idxs, frames = [], [], []
+                for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                    blob = bytes(blob)
+                    if not blob.startswith(AV.Y4M_MAGIC):
+                        raise NotImplementedError(
+                            "compressed video demux requires ffmpeg/av; "
+                            "only uncompressed YUV4MPEG2 payloads decode "
+                            "in-container"
+                        )
+                    all_frames, _ = AV.decode_y4m(blob)
+                    for i in range(0, len(all_frames), every):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(all_frames[i])
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "frame_idx": idxs,
+                        "frame": frames,
+                        "n_bytes": [len(f) for f in frames],
+                    }
+                )
+            return
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
@@ -230,6 +255,54 @@ def resize_images(
         ]
     )
     return multimodal.mapInPandas(run, schema=schema)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_audio_features(
+    multimodal: DataFrame, fake: bool = True
+) -> DataFrame:
+    """Audio feature extraction over payload batches — the third
+    modality, same mapInPandas shape as images. ``fake=False`` REALLY
+    decodes RIFF WAV PCM-16 payloads (:mod:`.avcodec`) to
+    ``[n_samples, channels, rate, peak, rms]``; compressed audio
+    (MP3/AAC — WAV with a non-PCM format tag, or a non-RIFF container)
+    raises NotImplementedError per payload. ``fake=True`` emits the
+    byte-count + first/last-byte stand-in for arbitrary payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import avcodec as AV
+
+        for pdf in batches:
+            feats = []
+            for blob in pdf["payload"]:
+                blob = bytes(blob)
+                if fake:
+                    feats.append(
+                        [
+                            float(len(blob)),
+                            float(blob[0]) if blob else 0.0,
+                            float(blob[-1]) if blob else 0.0,
+                        ]
+                    )
+                else:
+                    if blob[:4] != AV.WAV_MAGIC:
+                        raise NotImplementedError(
+                            "compressed audio (MP3/AAC/...) requires a "
+                            "codec library; only RIFF WAV PCM decodes "
+                            "in-container"
+                        )
+                    samples, rate = AV.decode_wav(blob)
+                    feats.append(AV.audio_features(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return multimodal.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def multimodal_meta(docs: DataFrame) -> DataFrame:

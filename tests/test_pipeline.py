@@ -978,3 +978,84 @@ def test_multimodal_real_decode_and_resize_on_raster_payloads(spark):
         MM.extract_features(jpeg_like, fake=False).collect()
     with pytest.raises(NotImplementedError):
         MM.decode_image_batch(pd.Series([b"\x89PNG\r\n"]), fake=False)
+
+
+def test_avcodec_wav_and_y4m_roundtrips():
+    """WAV PCM-16 and Y4M codecs are exact round-trips (mono + stereo
+    audio; 444/420 colorspaces incl. odd dimensions), and the
+    compressed-format guards raise."""
+    import numpy as np
+
+    from mapreducelearnings_spark.pipeline import avcodec as AV
+
+    rng = np.random.default_rng(11)
+    for shape in [(7,), (5, 2)]:
+        a = rng.integers(-(2**15), 2**15, size=shape).astype("<i2")
+        back, rate = AV.decode_wav(AV.encode_wav(a, 16000))
+        assert rate == 16000
+        assert (back == (a[:, None] if a.ndim == 1 else a)).all()
+    with pytest.raises(NotImplementedError, match="PCM 16-bit"):
+        # format tag 85 = MP3-in-RIFF
+        import struct as _s
+
+        fmt = _s.pack("<HHIIHH", 85, 1, 16000, 32000, 2, 16)
+        body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt + b"data" + _s.pack("<I", 0)
+        AV.decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
+
+    for cs, w, h in [("444", 3, 2), ("420", 5, 3), ("mono", 4, 1)]:
+        size = {"444": 3 * w * h, "420": w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2), "mono": w * h}[cs]
+        frames = [bytes(rng.integers(0, 256, size=size, dtype=np.uint8)) for _ in range(4)]
+        got, params = AV.decode_y4m(AV.encode_y4m(frames, w, h, colorspace=cs))
+        assert got == frames
+        assert (int(params["W"]), int(params["H"]), params["C"]) == (w, h, cs)
+
+
+def test_multimodal_real_audio_and_video_paths(spark):
+    """fake=False is REAL for the raw third/fourth modalities: WAV
+    payloads decode to exact [n, ch, rate, peak, rms] features, Y4M
+    payloads demux to every k-th true frame — both through the same
+    row-expanding/1-to-1 mapInPandas plumbing as the fake paths — and a
+    compressed payload trips the per-payload codec gate."""
+    import numpy as np
+
+    from mapreducelearnings_spark.pipeline import avcodec as AV
+
+    tone = (np.arange(8) * 1000 - 3500).astype("<i2")       # known samples
+    stereo = np.stack([tone, -tone], axis=1).astype("<i2")
+    audio = spark.createDataFrame(
+        [
+            (1, bytearray(AV.encode_wav(tone, 8000))),
+            (2, bytearray(AV.encode_wav(stereo, 44100))),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    feats = {
+        r["doc_id"]: list(r["feature"])
+        for r in MM.extract_audio_features(audio, fake=False).collect()
+    }
+    assert feats[1] == AV.audio_features(tone[:, None], 8000)
+    assert feats[2] == AV.audio_features(stereo, 44100)
+    mp3_like = spark.createDataFrame(
+        [(9, bytearray(b"ID3\x04 not wav"))], "doc_id: long, payload: binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        MM.extract_audio_features(mp3_like, fake=False).collect()
+
+    rng = np.random.default_rng(3)
+    w, h = 4, 2
+    frames = [bytes(rng.integers(0, 256, size=3 * w * h, dtype=np.uint8)) for _ in range(7)]
+    video = spark.createDataFrame(
+        [(5, bytearray(AV.encode_y4m(frames, w, h, colorspace="444")))],
+        "doc_id: long, payload: binary",
+    )
+    got = sorted(
+        MM.sample_frames(video, every=3, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in got] == [0, 3, 6]
+    assert [bytes(r["frame"]) for r in got] == [frames[0], frames[3], frames[6]]
+    mp4_like = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x00\x00 ftypmp42"))], "doc_id: long, payload: binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        MM.sample_frames(mp4_like, fake=False).collect()
