@@ -1059,3 +1059,21 @@ def test_multimodal_real_audio_and_video_paths(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         MM.sample_frames(mp4_like, fake=False).collect()
+
+
+def test_multimodal_audio_fake_standin(spark, sf_dir):
+    """The format-agnostic audio stand-in ([n_bytes, first, last]) runs
+    on arbitrary payloads — same contract shape as the image fake."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = MM.attach_payload(docs)
+    feats = {
+        r["doc_id"]: list(r["feature"])
+        for r in MM.extract_audio_features(mm).collect()
+    }
+    for r in docs.collect():
+        blob = r["text"].encode()
+        assert feats[r["doc_id"]] == [
+            float(len(blob)),
+            float(blob[0]) if blob else 0.0,
+            float(blob[-1]) if blob else 0.0,
+        ]
