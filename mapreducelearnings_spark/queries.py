@@ -4711,11 +4711,13 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM bg GROUP BY bigram),
     pre AS (SELECT w1, SUM(c_bg) AS c_w1 FROM cnt GROUP BY w1),
     prob AS (SELECT cnt.bigram,
-             ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1), 6) AS lp
+             CAST(FLOOR(ln(CAST(c_bg AS DOUBLE) / c_w1) * 1000000 + 0.5)
+                  AS BIGINT) AS lp6
              FROM cnt JOIN pre ON cnt.w1 = pre.w1)
     SELECT bg.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(lp), 4) AS avg_logprob
+           FLOOR((CAST(SUM(lp6) AS DOUBLE) / COUNT(*)) / 100.0 + 0.5)
+               / 10000.0 AS avg_logprob
     FROM bg JOIN prob ON bg.bigram = prob.bigram
     GROUP BY bg.doc_id
     """,
@@ -4727,11 +4729,16 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scores high — the complement of repetition_stats. Shape: one "
     "bigram explode reused for both the model estimate and the "
     "per-doc probe, two partial-agg groupBys for the counts, one "
-    "equi-join back, one per-doc aggregate. Per-bigram log-probs are "
-    "quantized to 6 dp before averaging and the average to 4 dp "
-    "(summation-order rule); the count ratio itself is exact on both "
-    "engines. At 100 TB the model side is the (pruned) bigram table "
-    "this pipeline already maintains for BPE.",
+    "equi-join back, one per-doc aggregate. Cross-engine exactness "
+    "(lesson 14 applied after a 3×-scale tie surfaced in round 6): "
+    "per-bigram log-probs are INTEGER-quantized to 1e-6 via IEEE "
+    "floor(x·1e6+0.5) — never ROUND, whose tie mode differs between "
+    "engines (Spark HALF_UP, DuckDB half-even) — then averaged as an "
+    "exact BIGINT sum over an exact count, and the final 4-dp "
+    "quantization is the same floor form on an exactly-rounded "
+    "division. The count ratio itself is exact on both engines. At "
+    "100 TB the model side is the (pruned) bigram table this pipeline "
+    "already maintains for BPE.",
 )
 def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -4754,16 +4761,26 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = cnt.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
     prob = cnt.join(pre, "w1").select(
         "bigram",
-        F.round(
-            F.log(F.col("c_bg").cast("double") / F.col("c_w1")), 6
-        ).alias("lp"),
+        F.floor(
+            F.log(F.col("c_bg").cast("double") / F.col("c_w1")) * 1_000_000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp6"),
     )
+    n = F.count(F.lit(1))
     return (
         bg.join(prob, "bigram")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+            n.cast("long").alias("n_bigrams"),
+            (
+                F.floor(
+                    (F.sum("lp6").cast("double") / n) / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("avg_logprob"),
         )
     )
 
@@ -5647,9 +5664,13 @@ _CORRECTNESS_WINDOW = [
     # rule 1 — code/oracle changed this round: shipmode_priority's
     # oracle SUMs now CAST to BIGINT (the 5-round HUGEINT-vs-bigint
     # hash divergence, VERDICT r05 "What's wrong" #1);
-    # incident_event_counts sits on the rewritten exact-integer band
-    # key in operators/rangejoin.py.
-    "shipmode_priority", "incident_event_counts",
+    # bigram_lm_scores' quantization moved to exact-integer floor form
+    # after a ROUND-tie divergence surfaced at the 3× scale sweep —
+    # its OUTPUT VALUES changed, so it outranks incident_event_counts
+    # (rangejoin floor-div rewrite, outputs verified bit-identical at
+    # sf0.001/0.01/0.1/3× this round → tail, pre-committed to the r7
+    # window) for the last changed-code slot.
+    "shipmode_priority", "bigram_lm_scores",
     # rule 2 — new round-6 queries, no driver row yet:
     "batch_sessionize", "scd2_event_intervals",
     "secondary_sort_orders", "weighted_sample_priority",
@@ -5696,7 +5717,7 @@ _TAIL = [
     "ann_pq_trained_topk", "sequence_packing", "stratified_sample",
     "hof_gauntlet", "sentence_split_udtf", "semdedup_keep",
     "source_quota_sample", "zorder_values", "asof_latest_order_cogroup",
-    "bigram_counts", "bigram_lm_scores", "nation_profit",
+    "bigram_counts", "incident_event_counts", "nation_profit",
     "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
     # r4-green (age 2): the r7 cohort (45 entries, 5 slots spare).
     "ann_ivf_topk", "dedup_embedding_clusters", "quality_filter",
