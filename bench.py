@@ -130,6 +130,10 @@ HEADLINE = [
     "scd2_event_intervals",
     "secondary_sort_orders",
     "weighted_sample_priority",
+    # round-6b: profiling + feature-engineering aggregates
+    "degree_distribution",
+    "value_histogram",
+    "time_weighted_avg",
     # Embedding / ANN block LAST: its ~45 s of wide-vector work leaves
     # JVM heap/GC residue that round 3 measurably taxed onto whatever ran
     # after it (kmeans_followers 2.2→5.6 s, shipping_priority 1.0→2.0 s,

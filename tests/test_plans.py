@@ -499,3 +499,26 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round6b_profiling_query_plans(spark, sf_dir):
+    """Plan contracts for the late-round-6 batch: time_weighted_avg's
+    LEAD window and per-user aggregate share ONE
+    HashPartitioning(user_id) exchange; value_histogram is a single
+    partial+final aggregate on the computed bucket; degree_distribution
+    is two partial+final aggregates where the second shuffle carries
+    only (degree, count) pairs."""
+    plan = plan_of(spark, sf_dir, "time_weighted_avg")
+    assert plan.count("- Exchange (") == 1
+    assert "hashpartitioning(user_id" in plan
+
+    plan = plan_of(spark, sf_dir, "value_histogram")
+    assert plan.count("- Exchange (") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+    plan = plan_of(spark, sf_dir, "degree_distribution")
+    assert plan.count("- Exchange (") == 2
+    # two partial+final pairs = 4 HashAggregate nodes (detail headers)
+    import re
+
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
