@@ -422,3 +422,91 @@ def test_banded_interval_join_extreme_magnitudes(spark, points, intervals, band)
         if lo <= x < hi
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),       # user
+            st.integers(0, 500),     # ts_sec
+            st.floats(-10, 10, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_time_weighted_avg_matches_python_reference(spark, events):
+    """TWA vs a sequential reference computed in exact integer space
+    (quantized value x duration), including the open-last-interval and
+    zero-duration-tie exclusions."""
+    from mapreducelearnings_spark.queries import REGISTRY  # noqa: F401
+    import math
+
+    rows = [(u, i, t, float(v)) for i, (u, t, v) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts_sec: long, value: double"
+    )
+    from pyspark.sql import Window, functions as F2
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    iv = df.select(
+        "user_id",
+        F2.floor(F2.col("value") * 1_000_000 + F2.lit(0.5))
+        .cast("long")
+        .alias("v6"),
+        (F2.lead("ts_sec").over(w) - F2.col("ts_sec")).alias("dur"),
+    ).where(F2.col("dur").isNotNull() & (F2.col("dur") > 0))
+    got = {
+        r.user_id: (r.total_sec, r.twa)
+        for r in iv.groupBy("user_id")
+        .agg(
+            F2.sum("dur").cast("long").alias("total_sec"),
+            (
+                F2.floor(
+                    (F2.sum(F2.col("v6") * F2.col("dur")).cast("double") / F2.sum("dur"))
+                    / F2.lit(100.0)
+                    + F2.lit(0.5)
+                )
+                / F2.lit(10000.0)
+            ).alias("twa"),
+        )
+        .collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for u, i, t, v in rows:
+        by_user.setdefault(u, []).append((t, i, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        num = den = 0
+        for (t, _, v), (t2, _, _) in zip(evs, evs[1:]):
+            dur = t2 - t
+            if dur > 0:
+                num += math.floor(v * 1_000_000 + 0.5) * dur
+                den += dur
+        if den == 0:
+            assert u not in got
+        else:
+            want = math.floor((num / den) / 100.0 + 0.5) / 10000.0
+            assert got[u] == (den, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=edge_lists)
+def test_degree_distribution_matches_python_reference(spark, edges):
+    from collections import Counter
+
+    from pyspark.sql import functions as F2
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    deg = df.groupBy("src").count()
+    got = sorted(
+        (r["count"], r["cnt"])
+        for r in deg.groupBy("count")
+        .agg(F2.count(F2.lit(1)).alias("cnt"))
+        .collect()
+    )
+    degrees = Counter(s for s, _ in edges)
+    hist = Counter(degrees.values())
+    assert got == sorted((d, n) for d, n in hist.items())
