@@ -277,8 +277,13 @@ def main() -> None:
             out[name] = round(best, 4)
         return out
 
-    timings = _time_set(HEADLINE)
+    # Twins FIRST: HEADLINE ends with the ~45 s wide-vector ANN block
+    # whose GC residue taxes whatever runs next (the round-3 effect);
+    # timing the twins before it keeps the twin-vs-codegen-twin
+    # comparison honest. Their own residue is negligible (<3 s of
+    # narrow work) and the warmup query has already run.
     surface_twins = _time_set(SURFACE_TWINS)
+    timings = _time_set(HEADLINE)
 
     total = round(sum(timings.values()), 4)
     result = {

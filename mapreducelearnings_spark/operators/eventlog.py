@@ -30,23 +30,39 @@ def sessionize(
 
     The lag-flag + running-sum assignment is the standard declarative
     replacement for per-user collect-and-loop ETL; ties are broken by
-    ``tiebreak_col`` so boundaries are deterministic.
+    ``tiebreak_col`` so boundaries are deterministic. ``sum_value`` is
+    computed in the lesson-14 exact-integer form (values quantized to
+    1e-6 as BIGINT, summed exactly, one floor-quantized division at
+    the end) — never ROUND over an accumulated double, whose
+    summation-order ulp and tie mode diverge across engines.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(ts_col).over(w)
     is_new = F.when(
         prev.isNull() | (F.col(ts_col) - prev > gap_sec), 1
     ).otherwise(0)
-    sessions = events.withColumn("is_new", is_new).withColumn(
-        "session_idx",
-        F.sum("is_new")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"),
+    v6 = (
+        F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("_v6")
+    )
+    sessions = (
+        events.select("*", v6)
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_idx",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
     )
     return sessions.groupBy(key_col, "session_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration_sec"),
-        F.round(F.sum(value_col), 4).alias("sum_value"),
+        (
+            F.floor(F.sum("_v6").cast("double") / F.lit(100.0) + F.lit(0.5))
+            / F.lit(10000.0)
+        ).alias("sum_value"),
     )
 
 

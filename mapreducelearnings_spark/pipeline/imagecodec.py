@@ -142,12 +142,16 @@ def decode_bmp(blob: bytes) -> np.ndarray:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode a supported raster payload; NotImplementedError for
-    compressed/unknown formats (the PIL/cv2 gate)."""
-    kind = sniff(bytes(blob))
+    compressed/unknown formats (the PIL/cv2 gate). The payload is
+    materialized to ``bytes`` exactly once — callers may pass
+    memoryview/bytearray without paying per-call copies in the
+    payload-linear mapInPandas hot path."""
+    blob = blob if isinstance(blob, bytes) else bytes(blob)
+    kind = sniff(blob)
     if kind == "ppm":
-        return decode_ppm(bytes(blob))
+        return decode_ppm(blob)
     if kind == "bmp":
-        return decode_bmp(bytes(blob))
+        return decode_bmp(blob)
     raise NotImplementedError(
         "payload is not an uncompressed PPM/BMP raster; compressed "
         "formats (JPEG/PNG/...) require PIL/cv2, absent from this "

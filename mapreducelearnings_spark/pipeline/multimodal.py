@@ -84,7 +84,7 @@ def decode_image_batch(
         from . import imagecodec as IC
 
         return [
-            IC.image_features(IC.decode_image(bytes(blob)))
+            IC.image_features(IC.decode_image(blob))
             for blob in payloads
         ]
     out = []
@@ -221,7 +221,7 @@ def resize_images(
                 thumbs = [
                     IC.encode_ppm(
                         IC.resize_nearest(
-                            IC.decode_image(bytes(b)), thumb_side, thumb_side
+                            IC.decode_image(b), thumb_side, thumb_side
                         )
                     )
                     for b in pdf["payload"]

@@ -5487,7 +5487,8 @@ _SESSION_GAP_SEC = 1800
     SELECT user_id, session_idx,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            MAX(ts_sec) - MIN(ts_sec) AS duration_sec,
-           ROUND(SUM(value), 4) AS sum_value
+           FLOOR(CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS sum_value
     FROM s GROUP BY user_id, session_idx
     """,
     doc="Batch sessionization (gap > 30 min starts a new session): the "
@@ -5697,7 +5698,13 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
-        .withColumn("bucket_lo", F.col("bucket") * F.lit(_HIST_BIN))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(_HIST_BIN)).alias("bucket_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
     )
 
 

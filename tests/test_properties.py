@@ -216,6 +216,8 @@ def test_sessionize_matches_python_reference(spark, events):
     by_user: dict[int, list] = {}
     for u, i, t, v in rows:
         by_user.setdefault(u, []).append((t, i, v))
+    import math
+
     expect = []
     for u, evs in by_user.items():
         evs.sort()
@@ -228,21 +230,18 @@ def test_sessionize_matches_python_reference(spark, events):
         sess.append(cur)
         for idx, s in enumerate(sess, start=1):
             ts = [t for t, _, _ in s]
+            v6_sum = sum(math.floor(v * 1_000_000 + 0.5) for _, _, v in s)
             expect.append(
                 (
                     u,
                     idx,
                     len(s),
                     max(ts) - min(ts),
-                    round(sum(v for _, _, v in s), 4),
+                    math.floor(v6_sum / 100.0 + 0.5) / 10000.0,
                 )
             )
     expect.sort()
-    assert [(r[0], r[1], r[2], r[3]) for r in got] == [
-        (e[0], e[1], e[2], e[3]) for e in expect
-    ]
-    for g, e in zip(got, expect):
-        assert abs(g[4] - e[4]) < 1e-6  # float-sum association tolerance
+    assert got == expect  # EXACT: lesson-14 integer form, no tolerance
 
 
 @settings(max_examples=8, deadline=None)

@@ -129,6 +129,13 @@ def main() -> int:
             + (f"  <-- {'; '.join(bad)}" if bad else "")
         )
 
+    if only:
+        # Filtered runs are for iterating on one query; never clobber
+        # the committed registry-wide PLANS.md with a partial report.
+        print(f"\n{len(rows)} audited, {len(failures)} flagged "
+              "(filtered run: PLANS.md not rewritten)")
+        return 1 if failures else 0
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write(
