@@ -38,6 +38,7 @@ HEADLINE = [
     "sssp_distances",
     "triangle_count",
     "triangle_count_broadcast",
+    "triangle_count_ordered",
     "kmeans_centroids",
     # LLM-pipeline layer, text side (SURVEY.md §2.11)
     "dedup_exact",
@@ -169,6 +170,42 @@ SURFACE_TWINS = [
     "customer_running_totals_pandas",
 ]
 
+# ---------------------------------------------------------------------------
+# Contention self-defense (VERDICT r06 "What's wrong" #1): the driver's
+# r6 bench run was uniformly ~1.39× inflated by ambient CPU contention,
+# making round-over-round ratios uninterpretable without out-of-band
+# context. Every run now times a fixed single-thread CPU probe before
+# and after the query set and records it with os.getloadavg() in the
+# output, so a contended run is detectable FROM THE ARTIFACT: if either
+# probe deviates >20% from the committed reference, the run is flagged
+# and its timings should be read as an upper bound, not a regression.
+# Reference value measured on the build machine (min of 3 after a
+# governor warmup, idle, repeated thrice: 0.606-0.624): re-measure and
+# update if the hardware changes. The probe deliberately runs ~0.7 s ×
+# 3: short probes are dominated by CPU frequency-governor ramp (an
+# IDLE machine measured 30% slower than a busy one at 2M iterations),
+# so the probe warms the governor first and then times enough work to
+# average over it. Observed idle noise is ±9%; the 20% flag threshold
+# clears it while still catching the ~39% r6 contention event.
+_CALIBRATION_REF_SEC = 0.62
+_CALIBRATION_TOL = 0.20
+
+
+def _calibration_probe() -> float:
+    """Fixed-work single-thread CPU loop; governor warmup, then min of
+    3 to shed scheduler noise while staying sensitive to sustained
+    contention."""
+
+    def _loop(n: int) -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(n):
+            acc += i * i
+        return time.perf_counter() - t0
+
+    _loop(5_000_000)  # let the frequency governor reach steady state
+    return round(min(_loop(10_000_000) for _ in range(3)), 4)
+
 
 def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
     """recall@5 of both ANN paths against the brute-force ground truth —
@@ -282,9 +319,17 @@ def main() -> None:
     # timing the twins before it keeps the twin-vs-codegen-twin
     # comparison honest. Their own residue is negligible (<3 s of
     # narrow work) and the warmup query has already run.
+    probe_before = _calibration_probe()
+    load_before = os.getloadavg()
     surface_twins = _time_set(SURFACE_TWINS)
     timings = _time_set(HEADLINE)
+    probe_after = _calibration_probe()
+    load_after = os.getloadavg()
 
+    contended = any(
+        p > _CALIBRATION_REF_SEC * (1 + _CALIBRATION_TOL)
+        for p in (probe_before, probe_after)
+    )
     total = round(sum(timings.values()), 4)
     result = {
         "metric": "headline_queries_total_sec",
@@ -296,6 +341,15 @@ def main() -> None:
         "surface_twins": surface_twins,
         "recall_at_5": _ann_recall_at_k(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Contention self-defense block — see _calibration_probe above.
+        "calibration": {
+            "ref_sec": _CALIBRATION_REF_SEC,
+            "probe_before_sec": probe_before,
+            "probe_after_sec": probe_after,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in load_after],
+            "contended": contended,
+        },
     }
     line = json.dumps(result)
     # The driver tail-captures stdout; with 60+ queries the line's head

@@ -265,6 +265,60 @@ def triangle_count(edges: DataFrame, broadcast_probe: bool = False) -> DataFrame
     return cycles.agg(F.expr("count(1) div 3").alias("triangles"))
 
 
+def triangle_count_ordered(edges: DataFrame) -> DataFrame:
+    """Directed 3-cycle count via degree-ordered anchoring — same result
+    as :func:`triangle_count` (cross-implementation equality tested), but
+    skew-safe at scale.
+
+    The plain plan's ``a.dst == b.src`` wedge join is quadratic in hub
+    degree on power-law graphs; the reference only survives hubs through
+    its id caps (RepJoin/.../CountFollowers.java:55,90). Here every cycle
+    ``a→b→c→a`` is counted exactly once, anchored at its MINIMUM vertex
+    under the total order ``rank(v) = (degree(v), v)``: wedges are pairs
+    (anchor→b, c→anchor) where BOTH b and c out-rank the anchor. A
+    vertex's effective wedge fan-out therefore counts only higher-degree
+    neighbours, which is O(sqrt(|E|)) for any vertex — hubs anchor no
+    wedges at all — giving the classic O(|E|^1.5) bound with no per-key
+    blowup, and no /3 correction (each cycle has one minimum).
+
+    Two shuffles on vertex keys (degree agg + wedge join) plus one
+    two-column equi-join to close the wedge; degree table joins are
+    broadcast-eligible when small.
+    """
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    def annotate(e: DataFrame) -> DataFrame:
+        return (
+            e.join(deg.withColumnRenamed("v", "src"), "src")
+            .withColumnRenamed("deg", "sdeg")
+            .join(deg.withColumnRenamed("v", "dst"), "dst")
+            .withColumnRenamed("deg", "ddeg")
+        )
+
+    ann = annotate(edges)
+    outranks_src = (F.col("ddeg") > F.col("sdeg")) | (
+        (F.col("ddeg") == F.col("sdeg")) & (F.col("dst") > F.col("src"))
+    )
+    # anchor→b edges (b out-ranks anchor) and c→anchor edges (c out-ranks
+    # anchor); the wedge join key is the anchor — the low-rank vertex.
+    ab = ann.where(outranks_src).select(
+        F.col("src").alias("anchor"), F.col("dst").alias("b")
+    )
+    ca = ann.where(~outranks_src).select(
+        F.col("dst").alias("anchor"), F.col("src").alias("c")
+    )
+    wedges = ab.join(ca, "anchor")
+    closing = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SSSP with path reconstruction (ShortestPathMR parity)
 # ---------------------------------------------------------------------------

@@ -908,6 +908,19 @@ def q_triangle_count_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_count(graph_edges(spark, sf_dir), broadcast_probe=True)
 
 
+@register(
+    "triangle_count_ordered",
+    _TRIANGLE_ORACLE,
+    doc="Triangle count, degree-ordered anchoring — the skew-safe third "
+    "strategy (hub wedge fan-out bounded by O(sqrt(|E|)) without the id "
+    "caps RepJoin/.../CountFollowers.java:55,90 needs to survive hubs); "
+    "equality with both reference-faithful plans is tested, extending "
+    "the cross-implementation oracle pattern (SURVEY.md §5).",
+)
+def q_triangle_count_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_count_ordered(graph_edges(spark, sf_dir))
+
+
 _KM_K = 4
 _KM_ROUNDS = 5
 
@@ -5782,87 +5795,37 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ROTATION SCHEDULE (bounds evidence staleness; VERDICT r05 Next #4).
-# 143 entries / 50 slots ⇒ a fixed 3-round cycle: every entry gets a
-# driver row at least every 3 rounds, and the r{N}+r{N-1}+r{N-2} union
-# always covers the whole registry. Standing rules, in priority order:
+# 147 entries / 50 slots ⇒ a fixed 3-round cycle (150 ≥ 147 still
+# holds): every entry gets a driver row at least every 3 rounds, and
+# the r{N}+r{N-1}+r{N-2} union always covers the whole registry.
+# Standing rules, in priority order:
 #   1. entries whose CODE or ORACLE changed this round → window;
 #   2. entries with NO driver row ever (new queries) → window;
 #   3. oldest-evidence entries fill the remaining slots (so nothing
 #      exceeds age 3).
-# Round-6 cohort math: the 44 entries whose last row predates r4 (the
-# 11 never-checked + 33 r3-era) + shipmode_priority (oracle cast fix,
-# rule 1) + incident_event_counts (rangejoin integer-banding rewrite,
-# rule 1) + the 4 new round-6 queries (rule 2) = exactly 50.
-# Forecast (so future rounds can't be cornered): r7 must cover the 45
-# r4-only entries (ann_* family, dedup_clusters*, token/text pack,
-# pivot/unpivot, salted*, triangle_*caps, window gauntlets, …) — 5
-# slots spare; r8 must cover the ≤48 r5-greens not re-proven sooner.
+# Round-7 cohort math: the 45 r4-era entries (freshest row r4; age
+# would exceed the bound without a slot) + incident_event_counts
+# (r6 rangejoin integer-banding rewrite, displaced from the r6 window
+# by the bigram fix, pre-committed here) + the 3 late-r6 profiling
+# adds (degree_distribution / value_histogram / time_weighted_avg —
+# never driver-checked, pre-committed here) + triangle_count_ordered
+# (new this round, rule 2) = exactly 50. Further round-7 additions
+# (bpe_merges, dedup_clusters_incremental) carry 4-scale local
+# evidence in COVERAGE.md and are pre-committed to the r8 window (the
+# late-add precedent the r6 verdict accepted).
+# Forecast: r8 must cover the 47 r5-greens + the 2 pre-committed r7
+# late adds = 49 of 50 slots; r9 covers the 50 r6-greens.
 # ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    # rule 1 — code/oracle changed this round: shipmode_priority's
-    # oracle SUMs now CAST to BIGINT (the 5-round HUGEINT-vs-bigint
-    # hash divergence, VERDICT r05 "What's wrong" #1);
-    # bigram_lm_scores' quantization moved to exact-integer floor form
-    # after a ROUND-tie divergence surfaced at the 3× scale sweep —
-    # its OUTPUT VALUES changed, so it outranks incident_event_counts
-    # (rangejoin floor-div rewrite, outputs verified bit-identical at
-    # sf0.001/0.01/0.1/3× this round → tail, pre-committed to the r7
-    # window) for the last changed-code slot.
-    "shipmode_priority", "bigram_lm_scores",
-    # rule 2 — new round-6 queries, no driver row yet:
-    "batch_sessionize", "scd2_event_intervals",
-    "secondary_sort_orders", "weighted_sample_priority",
-    # rule 2 — the 11 entries that had NEVER been driver-checked
-    # (VERDICT r05 Next #2, listed there by name):
-    "late_exclusive_suppliers_sql", "doc_provenance", "null_safe_join",
-    "incremental_merge_counts", "events_hourly_gapfill",
-    "cohort_retention", "dedup_cluster_sizes", "vocab_oov_rate",
-    "source_mixture_weights", "customer_running_totals_pandas",
-    "conditional_agg_flags",
-    # rule 3 — the 33 r3-era entries (freshest row r3; age would hit 4
-    # this round without a slot):
-    "follower_count", "window_events", "udaf_weighted_avg",
-    "pricing_summary", "similarity_topk", "events_props_json",
-    "sales_rollup", "asof_latest_order", "session_windows",
-    "quantity_percentiles", "pagerank_general", "dedup_minhash_lsh",
-    "doc_fingerprints", "text_stats", "grouped_sum", "grouped_min_max",
-    "global_agg", "grouped_collect", "case_when", "scalar_gauntlet",
-    "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
-    "top_k", "union_reagg", "pagerank_idfilter", "sssp_distances",
-    "sssp_paths", "triangle_count", "kmeans_centroids", "dedup_exact",
-    "simhash_fingerprints",
-]
-
-# Outside the driver's 50-row window this round: every entry below has
-# a green driver row from r4 or r5 (ages 1-2 entering r6; none reaches
-# the age-3 bound before its scheduled r7/r8 slot), and all are still
-# oracle-checked locally at sf0.001 by tests/test_oracle_parity and at
-# sf0.01 by tools/check_oracles.py every round.
-_TAIL = [
-    # Late-round-6 additions, pre-committed to the r7 window (the r7
-    # cohort is 45 required + incident_event_counts + these three = 49
-    # of 50 slots). Each enters with exact-green check_oracles evidence
-    # at sf0.001 / sf0.01 / sf0.1 / the 3× dir recorded in COVERAGE.md.
+    # rule 1 — code changed (r6 rangejoin integer-banding rewrite,
+    # outputs verified bit-identical at sf0.001/0.01/0.1/3×;
+    # pre-committed to this window by the r6 schedule):
+    "incident_event_counts",
+    # rule 2 — never driver-checked (late-r6 adds, pre-committed):
     "degree_distribution", "value_histogram", "time_weighted_avg",
-    # r5-green (age 1): scheduled for r8 unless code changes sooner.
-    "dedup_stream_lsh", "sales_cube", "set_except", "set_intersect",
-    "anti_join", "customer_running_totals", "lang_id",
-    "udf_discounted_price", "repetition_stats", "pii_redact",
-    "order_priority_semi", "volume_shipping", "returned_items",
-    "promo_revenue", "large_orders", "disjunctive_revenue",
-    "idle_customers", "min_cost_supplier", "grouping_sets_pricing",
-    "ann_ivf_pq_topk", "forecast_revenue", "order_count_distribution",
-    "small_quantity_revenue", "market_share",
-    "late_exclusive_suppliers", "important_parts", "doc_chunks",
-    "funnel_conversion", "best_revenue_supplier",
-    "stream_enriched_totals", "events_props_variant",
-    "ann_lsh_topk_multiprobe", "ann_ivf_trained_topk",
-    "ann_pq_trained_topk", "sequence_packing", "stratified_sample",
-    "hof_gauntlet", "sentence_split_udtf", "semdedup_keep",
-    "source_quota_sample", "zorder_values", "asof_latest_order_cogroup",
-    "bigram_counts", "incident_event_counts", "nation_profit",
-    "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
-    # r4-green (age 2): the r7 cohort (45 entries, 5 slots spare).
+    # rule 2 — new round-7 query:
+    "triangle_count_ordered",
+    # rule 3 — the 45 r4-era entries (freshest row r4):
     "ann_ivf_topk", "dedup_embedding_clusters", "quality_filter",
     "ann_lsh_topk_single_baseline", "corpus_curation",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
@@ -5879,6 +5842,52 @@ _TAIL = [
     "follower_sum", "max_filter", "distinct_pairs", "right_outer_join",
     "explode_tokens", "salted_follower_count",
     "triangle_count_broadcast", "triangle_count_capped",
+]
+
+# Outside the driver's 50-row window this round: every entry below has
+# a green driver row from r5 or r6 (ages 1-2 entering r7; none reaches
+# the age-3 bound before its scheduled r8/r9 slot) or is a round-7
+# late add pre-committed to r8 with 4-scale local evidence; all are
+# still oracle-checked locally at sf0.001 by tests/test_oracle_parity
+# and at sf0.01 by tools/check_oracles.py every round.
+_TAIL = [
+    # r5-green (age 2): the r8 cohort (47 entries + the r7 late adds).
+    "dedup_stream_lsh", "sales_cube", "set_except", "set_intersect",
+    "anti_join", "customer_running_totals", "lang_id",
+    "udf_discounted_price", "repetition_stats", "pii_redact",
+    "order_priority_semi", "volume_shipping", "returned_items",
+    "promo_revenue", "large_orders", "disjunctive_revenue",
+    "idle_customers", "min_cost_supplier", "grouping_sets_pricing",
+    "ann_ivf_pq_topk", "forecast_revenue", "order_count_distribution",
+    "small_quantity_revenue", "market_share",
+    "late_exclusive_suppliers", "important_parts", "doc_chunks",
+    "funnel_conversion", "best_revenue_supplier",
+    "stream_enriched_totals", "events_props_variant",
+    "ann_lsh_topk_multiprobe", "ann_ivf_trained_topk",
+    "ann_pq_trained_topk", "sequence_packing", "stratified_sample",
+    "hof_gauntlet", "sentence_split_udtf", "semdedup_keep",
+    "source_quota_sample", "zorder_values", "asof_latest_order_cogroup",
+    "bigram_counts", "nation_profit",
+    "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
+    # r6-green (age 1): scheduled for r9 unless code changes sooner.
+    "shipmode_priority", "bigram_lm_scores",
+    "batch_sessionize", "scd2_event_intervals",
+    "secondary_sort_orders", "weighted_sample_priority",
+    "late_exclusive_suppliers_sql", "doc_provenance", "null_safe_join",
+    "incremental_merge_counts", "events_hourly_gapfill",
+    "cohort_retention", "dedup_cluster_sizes", "vocab_oov_rate",
+    "source_mixture_weights", "customer_running_totals_pandas",
+    "conditional_agg_flags",
+    "follower_count", "window_events", "udaf_weighted_avg",
+    "pricing_summary", "similarity_topk", "events_props_json",
+    "sales_rollup", "asof_latest_order", "session_windows",
+    "quantity_percentiles", "pagerank_general", "dedup_minhash_lsh",
+    "doc_fingerprints", "text_stats", "grouped_sum", "grouped_min_max",
+    "global_agg", "grouped_collect", "case_when", "scalar_gauntlet",
+    "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
+    "top_k", "union_reagg", "pagerank_idfilter", "sssp_distances",
+    "sssp_paths", "triangle_count", "kmeans_centroids", "dedup_exact",
+    "simhash_fingerprints",
 ]
 
 

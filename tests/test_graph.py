@@ -92,12 +92,14 @@ def test_sssp_triangle_inequality(spark, sf_dir):
 
 
 def test_triangle_cross_implementation_equivalence(spark, sf_dir):
-    """Broadcast and shuffle plans must agree — the reference's own
-    RepJoin vs ReduceSideJoin redundancy (SURVEY.md §5)."""
+    """All three physical strategies must agree — the reference's own
+    RepJoin vs ReduceSideJoin redundancy (SURVEY.md §5), extended with
+    the degree-ordered skew-safe plan."""
     e = graph_edges(spark, sf_dir)
     a = G.triangle_count(e, broadcast_probe=False).first()["triangles"]
     b = G.triangle_count(e, broadcast_probe=True).first()["triangles"]
-    assert a == b
+    c = G.triangle_count_ordered(e).first()["triangles"]
+    assert a == b == c
 
 
 def test_triangle_known_micro_graph(spark):
@@ -105,6 +107,31 @@ def test_triangle_known_micro_graph(spark):
     rows = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
     e = spark.createDataFrame(rows, "src: long, dst: long")
     assert G.triangle_count(e).first()["triangles"] == 1
+    assert G.triangle_count_ordered(e).first()["triangles"] == 1
+
+
+def test_triangle_ordered_hub_graph(spark):
+    """A star hub plus satellite cycles — the shape where the unoriented
+    wedge join blows up quadratically in hub degree. The ordered plan
+    must still agree with the reference-faithful plan, including cycles
+    THROUGH the hub (where the hub is never the anchor) and degree-tie
+    cycles (id tiebreak)."""
+    rows = []
+    # hub 0 with 40 out- and 40 in-edges (degree 80)
+    for i in range(1, 41):
+        rows.append((0, i))
+        rows.append((100 + i, 0))
+    # 10 directed 3-cycles through the hub: 0 -> i -> 100+i -> 0
+    for i in range(1, 11):
+        rows.append((i, 100 + i))
+    # 5 hub-free cycles among degree-2 vertices (all-tie ranks)
+    for j in range(5):
+        a, b, c = 200 + 3 * j, 201 + 3 * j, 202 + 3 * j
+        rows += [(a, b), (b, c), (c, a)]
+    e = spark.createDataFrame(rows, "src: long, dst: long").distinct()
+    ref = G.triangle_count(e).first()["triangles"]
+    ordered = G.triangle_count_ordered(e).first()["triangles"]
+    assert ref == ordered == 15
 
 
 # --- k-means ----------------------------------------------------------------
