@@ -64,6 +64,7 @@ HEADLINE = [
     # same oracle; bench shows which contraction wins at this SF)
     "dedup_clusters",
     "dedup_clusters_star",
+    "dedup_clusters_incremental",
     "corpus_curation",
     "sequence_packing",
     "inverted_index",
@@ -73,6 +74,7 @@ HEADLINE = [
     "distinct_users_per_type",
     "token_counts_bpe",
     "token_doc_frequency",
+    "bpe_merges",
     # custom operators + format coverage
     "asof_latest_order",
     "events_props_json",

@@ -556,6 +556,86 @@ def connected_components(
     return out
 
 
+def contract_delta(base_labels: DataFrame, delta_edges: DataFrame) -> DataFrame:
+    """Delta edges with endpoints contracted onto their existing
+    component labels (unknown endpoints pass through). The result is
+    the ONLY graph :func:`incremental_components` ever clusters — its
+    size is bounded by |delta|, which is what the touched-only-work
+    test asserts."""
+    lab_src = base_labels.select(
+        F.col("vertex").alias("src"), F.col("component").alias("csrc")
+    )
+    lab_dst = base_labels.select(
+        F.col("vertex").alias("dst"), F.col("component").alias("cdst")
+    )
+    return (
+        delta_edges.select("src", "dst")
+        .join(lab_src, "src", "left")
+        .join(lab_dst, "dst", "left")
+        .select(
+            F.coalesce("csrc", "src").alias("src"),
+            F.coalesce("cdst", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def incremental_components(
+    spark: SparkSession,
+    base_labels: DataFrame,
+    delta_edges: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """Merge a DELTA batch of edges into existing component labels
+    without recomputing components from scratch — the streaming-dedup
+    maintenance step (a new document batch's LSH pairs arrive against
+    an already-clustered corpus).
+
+    ``base_labels`` is (vertex, component) with component = min vertex
+    id of the component (the :func:`connected_components` contract).
+    Because each label is itself the minimum of its component, the
+    delta can be CONTRACTED before any clustering happens:
+
+    1. map each delta endpoint to its existing label (left join;
+       endpoints the base has never seen pass through as themselves);
+    2. run :func:`connected_components` on the resulting COMPONENT
+       GRAPH — its size is bounded by |delta|, not |base|, and its
+       min-label outputs are exactly the merged components' new labels;
+    3. apply the (old label → new label) remap to the base with one
+       broadcast join (labels of untouched components miss the remap
+       and survive unchanged — no base shuffle), and union in the
+       delta-only vertices with their labels from step 2.
+
+    Result is IDENTICAL to from-scratch clustering on base ∪ delta
+    edges (oracle + test), but the clustering work touches only
+    delta-adjacent components: at 100 TB the base is a label table
+    scanned once map-side, never re-clustered.
+    """
+    d = delta_edges.select("src", "dst")
+    comp_edges = contract_delta(base_labels, d)
+    # already materialized: connected_components eagerly localCheckpoints
+    # its output, so both uses below share one computed table.
+    merged = connected_components(spark, comp_edges, **cc_kwargs)
+    # merged: (vertex = old label | delta-only vertex id, component = new
+    # label). As an old-label → new-label remap it is delta-sized.
+    remap = merged.select(
+        F.col("vertex").alias("component"), F.col("component").alias("_nc")
+    )
+    rebased = base_labels.join(F.broadcast(remap), "component", "left").select(
+        "vertex", F.coalesce("_nc", "component").alias("component")
+    )
+    delta_only = (
+        d.select(F.col("src").alias("vertex"))
+        .unionAll(d.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .join(base_labels.select("vertex"), "vertex", "left_anti")
+        .join(merged, "vertex")
+        .select("vertex", "component")
+    )
+    out = rebased.unionByName(delta_only)
+    return out
+
+
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One LARGE-STAR (or SMALL-STAR) round of the alternating
     min-label contraction from Kiveris et al., "Connected Components in

@@ -1,0 +1,134 @@
+"""Iterative BPE merge-loop training — the canonical LLM-tokenizer
+workload (SURVEY.md §2.11 extension; the one-round statistic is
+``bigram_counts`` in the registry, reference analogue
+ReduceByKey/.../FollowersCount.scala:26-28's grouped count applied to
+adjacent pairs).
+
+Design (the standard distributed BPE trainer shape):
+
+1. ONE corpus pass builds the word-frequency table — after this, every
+   training round runs over the VOCABULARY (distinct words), not the
+   corpus. At 100 TB the corpus scan is the only corpus-sized job; the
+   vocab table is millions of rows at most and each round is one small
+   explode + partial-agg shuffle over it.
+2. Each word is held as a delimited symbol string ``|s1||s2||...|``
+   (every symbol individually wrapped in pipes). This makes the greedy
+   left-to-right BPE merge EXACTLY a builtin ``replace``:
+   ``replace(w, '|l||r|', '|lr|')`` — occurrences are scanned
+   left-to-right and non-overlapping, so ``aaaa`` + merge (a,a) gives
+   ``aa aa`` and ``aaa`` gives ``aa a``, matching the greedy trainer.
+   No UDF anywhere: wrapping, pair extraction, counting and merging
+   are all whole-stage-codegen expressions (replace / split /
+   transform / explode).
+3. Per round: adjacent-pair counts weighted by word frequency, top
+   pair by (count DESC, lhs ASC, rhs ASC) — a deterministic total
+   order — collected as a 1-row control read (the k-means/pagerank
+   loop discipline), then merged into the persisted vocab for the
+   next round.
+
+The DuckDB oracle unrolls the same rounds as nested CTEs (the
+pagerank-oracle pattern), using the same delimited representation and
+the same ``replace`` semantics (verified identical cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Only lowercase-alpha words participate: symbols then never contain
+# the '|' delimiter, digits, or whitespace, so the wrapped form is
+# unambiguous. Shared verbatim with the oracle SQL.
+BPE_WORD_PATTERN = "[a-z]+"
+
+def _syms():
+    # built lazily: F.expr needs an active SparkContext, and this module
+    # is imported at registry load time before any session exists.
+    return F.split(F.expr("trim(BOTH '|' FROM w)"), r"\|\|")
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, freq): delimited symbol-string per distinct word + corpus
+    frequency. The single corpus-sized job of the trainer."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_WORD_PATTERN), 0
+            )
+        ).alias("tok")
+    )
+    return toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    ).select(
+        F.regexp_replace("tok", "(.)", "|$1|").alias("w"), "freq"
+    )
+
+
+def pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts weighted by word frequency:
+    (lhs, rhs, pair_cnt). One explode + one partial-agg shuffle."""
+    with_syms = vocab.select("freq", _syms().alias("s")).where(F.size("s") >= 2)
+    pairs = with_syms.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - 1),
+                lambda i: F.struct(
+                    F.element_at("s", i).alias("lhs"),
+                    F.element_at("s", i + 1).alias("rhs"),
+                ),
+            )
+        ).alias("pr"),
+    )
+    return pairs.groupBy("pr.lhs", "pr.rhs").agg(
+        F.sum("freq").alias("pair_cnt")
+    )
+
+
+def apply_merge(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Greedy left-to-right merge of (lhs, rhs) into every word."""
+    return vocab.withColumn(
+        "w",
+        F.replace("w", F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|")),
+    )
+
+
+def train_merges(
+    spark: SparkSession, docs: DataFrame, rounds: int, text_col: str = "text"
+) -> DataFrame:
+    """Run ``rounds`` BPE merge rounds; returns (merge_round, lhs, rhs,
+    pair_cnt) — the ordered merge table a tokenizer ships.
+
+    Loop discipline: the vocab is persisted per round and the previous
+    round's block freed, so round N's pair count never recomputes
+    rounds 1..N-1 (lineage is one ``replace`` expression per round on
+    top of the cached vocab; depth is bounded by ``rounds``).
+    """
+    vocab = word_frequencies(docs, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rnd in range(1, rounds + 1):
+            best = (
+                pair_counts(vocab)
+                .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not best:  # vocabulary exhausted (all words one symbol)
+                break
+            row = best[0]
+            merges.append((rnd, row["lhs"], row["rhs"], row["pair_cnt"]))
+            nxt = apply_merge(vocab, row["lhs"], row["rhs"]).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            nxt.count()  # materialize before freeing the parent block
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
+    )

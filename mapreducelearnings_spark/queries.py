@@ -983,6 +983,7 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are fully oracle-checked — not rows-only.
 # ===========================================================================
 
+from .pipeline import bpe as BP  # noqa: E402
 from .pipeline import curation as CU  # noqa: E402
 from .pipeline import packing as PK  # noqa: E402
 from .pipeline import retrieval as RV  # noqa: E402
@@ -2608,6 +2609,36 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     cc = G.connected_components_star(spark, edges)
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_clusters_incremental",
+    _DEDUP_CLUSTERS_ORACLE,
+    doc="Incremental cluster MAINTENANCE (graph.py "
+    "incremental_components): the corpus is clustered once on the "
+    "'old' 90%% of documents, then the newest decile's LSH pairs "
+    "arrive as a delta batch and are merged into the existing labels "
+    "by clustering only the delta-sized COMPONENT graph and "
+    "broadcast-remapping touched labels — the base is never "
+    "re-clustered (composes with incremental_merge_counts' "
+    "partial-state story). The oracle IS the from-scratch clustering "
+    "on base+delta, so equality proves the maintenance path exact.",
+)
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.lsh_candidate_pairs(docs).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # deterministic arrival split: the newest ~decile of doc ids is the
+    # delta batch (1-row control read for the threshold)
+    cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.9)
+    base = pairs.where((F.col("src") < cut) & (F.col("dst") < cut))
+    delta = pairs.where((F.col("src") >= cut) | (F.col("dst") >= cut))
+    base_labels = G.connected_components(spark, base)
+    cc = G.incremental_components(spark, base_labels, delta)
     return cc.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -4711,6 +4742,63 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_ROUNDS = 6
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
+    """Unrolled-round DuckDB twin of pipeline.bpe.train_merges (the
+    pagerank-oracle pattern): same delimited symbol representation,
+    same greedy-left-to-right replace, same (cnt DESC, lhs, rhs)
+    tiebreak; every aggregate CAST to BIGINT (HUGEINT rule)."""
+    ctes = [
+        "w0 AS (SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, "
+        "CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+        "FROM documents) GROUP BY 1)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"p{r} AS (SELECT pr.l AS lhs, pr.r AS rhs, "
+            "CAST(SUM(freq) AS BIGINT) AS pair_cnt FROM "
+            "(SELECT freq, unnest(list_transform(range(1, len(s)), "
+            "i -> {'l': s[i], 'r': s[i+1]})) AS pr FROM "
+            f"(SELECT freq, string_split(trim(w, '|'), '||') AS s FROM w{r - 1})) "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT lhs, rhs, pair_cnt FROM p{r} "
+            "ORDER BY pair_cnt DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT replace(v.w, '|'||m.lhs||'||'||m.rhs||'|', "
+            f"'|'||m.lhs||m.rhs||'|') AS w, v.freq "
+            f"FROM w{r - 1} v CROSS JOIN m{r} m)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, lhs, rhs, pair_cnt "
+        f"FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register(
+    "bpe_merges",
+    _bpe_merges_oracle(_BPE_TRAIN_ROUNDS),
+    doc="Iterative BPE merge-loop training (pipeline/bpe.py): "
+    "bigram_counts is one round's statistic; this runs the full "
+    "top-pair-merge -> re-pair loop for 6 rounds over the word-"
+    "frequency table (ONE corpus pass, then vocab-sized rounds — the "
+    "standard distributed BPE trainer). Greedy merge is a builtin "
+    "replace over a pipe-delimited symbol string (no UDF); oracle is "
+    "the unrolled-SQL-rounds pattern used for the k-means/pagerank "
+    "loops.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return BP.train_merges(spark, docs, _BPE_TRAIN_ROUNDS)
+
+
 @register(
     "bigram_lm_scores",
     f"""
@@ -5851,6 +5939,10 @@ _CORRECTNESS_WINDOW = [
 # still oracle-checked locally at sf0.001 by tests/test_oracle_parity
 # and at sf0.01 by tools/check_oracles.py every round.
 _TAIL = [
+    # Round-7 late additions, pre-committed to the r8 window; each
+    # enters with exact-green check_oracles evidence at sf0.001 /
+    # sf0.01 / sf0.1 / the 3× dir recorded in COVERAGE.md.
+    "bpe_merges", "dedup_clusters_incremental",
     # r5-green (age 2): the r8 cohort (47 entries + the r7 late adds).
     "dedup_stream_lsh", "sales_cube", "set_except", "set_intersect",
     "anti_join", "customer_running_totals", "lang_id",

@@ -315,3 +315,37 @@ def test_connected_components_survives_capped_residual_rounds(spark):
         for i in range(plen)
     }
     assert got == want
+
+
+# --- incremental component maintenance --------------------------------------
+
+
+def test_incremental_components_exact_and_touched_only(spark):
+    """Merging a delta batch into existing labels must (a) equal the
+    from-scratch clustering on base+delta, and (b) cluster only a
+    delta-sized contracted graph — the base is remapped by broadcast,
+    never re-clustered."""
+    # base: 50 disjoint 2-vertex components (i <-> 1000+i)
+    base_edges = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(50)], "src: long, dst: long"
+    )
+    base_labels = G.connected_components(spark, base_edges)
+    # delta: join components 3 and 7, attach brand-new vertex 9999 to
+    # component 11
+    delta = spark.createDataFrame(
+        [(1003, 1007), (9999, 11)], "src: long, dst: long"
+    )
+    out = G.incremental_components(spark, base_labels, delta)
+
+    scratch = G.connected_components(spark, base_edges.unionAll(delta))
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+
+    # touched-only work: the contracted graph the incremental path
+    # clusters has exactly |delta| edges (2), not |base|+|delta| (52)
+    contracted = G.contract_delta(base_labels, delta)
+    assert contracted.count() == 2
+    # and the base-side remap is a broadcast join — no base shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1077,3 +1077,50 @@ def test_multimodal_audio_fake_standin(spark, sf_dir):
             float(blob[0]) if blob else 0.0,
             float(blob[-1]) if blob else 0.0,
         ]
+
+
+# --- BPE merge-loop training ------------------------------------------------
+
+
+def test_bpe_merges_invariants(spark):
+    """Deterministic greedy BPE on a hand-computable corpus: pair counts
+    are non-increasing across rounds (a merge-created pair occurs at
+    most as often as the pair it came from), the tiebreak is (cnt DESC,
+    lhs, rhs), and the greedy left-to-right overlap rule holds
+    ('aaaa' -> two (a,a) merges, 'aaa' -> one)."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa low low low lower"), (2, "low lowest aaaa")],
+        "doc_id: long, text: string",
+    )
+    out = BP.train_merges(spark, docs, rounds=4).collect()
+    assert [r["merge_round"] for r in out] == [1, 2, 3, 4]
+    cnts = [r["pair_cnt"] for r in out]
+    assert cnts == sorted(cnts, reverse=True)
+    # round 1: 'lo' wins — (l,o) appears in low x4, lower, lowest = 6;
+    # (a,a) has 2+2+1+2=... occurrences: 'aaaa' x2 -> 3 each + 'aaa' -> 2,
+    # = 8 naive adjacencies; check the actual winner matches greedy count
+    m1 = out[0]
+    assert (m1["lhs"], m1["rhs"]) == ("a", "a") and m1["pair_cnt"] == 8
+    # round 2 must see 'aaaa' as (aa)(aa) and 'aaa' as (aa)(a):
+    # (aa,aa) count 2, (aa,a) count 1, while (l,o) still counts 6
+    m2 = out[1]
+    assert (m2["lhs"], m2["rhs"]) == ("l", "o") and m2["pair_cnt"] == 6
+    # round 3: (lo,w) in low x4, lower, lowest = 6
+    m3 = out[2]
+    assert (m3["lhs"], m3["rhs"]) == ("lo", "w") and m3["pair_cnt"] == 6
+    # determinism: a second run returns the identical table
+    out2 = BP.train_merges(spark, docs, rounds=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+
+
+def test_bpe_merges_exhaustion(spark):
+    """A corpus whose words collapse to single symbols stops early
+    instead of erroring."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id: long, text: string")
+    out = BP.train_merges(spark, docs, rounds=5).collect()
+    assert len(out) == 1  # (a,b) merges once; then no pairs remain
+    assert (out[0]["lhs"], out[0]["rhs"], out[0]["pair_cnt"]) == ("a", "b", 2)
