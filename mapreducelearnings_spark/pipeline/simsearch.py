@@ -606,6 +606,25 @@ def ivf_topk_trained(
 
 
 HAMMING_RERANK_MULT = 16
+# Corpus size at which the base rerank budget was tuned (recall@5 0.8
+# there); hamming_auto_mult doubles down log2-style as the corpus
+# outgrows it, keeping the reranked FRACTION shrinking while recall
+# holds. Measured curve at the 2 000-vector sf0.1 corpus (R = 5·mult):
+# mult 16→0.575, 24→0.650, 32→0.675, 48→0.775 (the auto value),
+# 64→0.875, 96→0.975 — published in PERFORMANCE.md.
+HAMMING_RERANK_N0 = 500
+
+
+def hamming_auto_mult(n_vectors: int) -> int:
+    """Log-scaled rerank multiplier: base at ≤N0 vectors, +base per
+    doubling beyond. Shared rule with the DuckDB oracle (exact at
+    power-of-two boundaries: n/N0 is then IEEE-exact in both engines).
+    """
+    import math
+
+    n = max(int(n_vectors), 1)
+    steps = max(0, math.ceil(math.log2(n / HAMMING_RERANK_N0)))
+    return HAMMING_RERANK_MULT * (1 + steps)
 
 
 def _sign_sig_cols(ne_col, dims: int = DIMS):
@@ -629,7 +648,7 @@ def hamming_ann_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = HAMMING_RERANK_MULT,
+    rerank_mult: int | None = None,
 ) -> DataFrame:
     """Binary-signature ANN: 64-bit sign signatures (16 bytes/vector —
     64× smaller than the raw float64 vectors, 16× smaller than float32
@@ -648,13 +667,19 @@ def hamming_ann_topk(
     query. Deterministic both engines (ties broken by neighbor_id at
     both ranks), hence fully oracle-checked despite being approximate.
 
-    Measured recall@5 on this wide-angle corpus (R = 80): 0.8 at a
-    500-vector corpus, 0.575 at 2 000 — R is an ABSOLUTE budget, so on
-    corpora whose true neighbors sit at wide angles (1 bit/dim blurs
-    them) recall decays as the corpus outgrows R; scale R with log-ish
-    corpus growth or compose the signature scan with IVF cell pruning
-    (signatures within probed cells) to keep the reranked fraction
-    meaningful. Reported in bench next to every other ANN path."""
+    An ABSOLUTE rerank budget decays as the corpus outgrows it (R=80:
+    recall 0.8 at a 500-vector corpus, 0.575 at 2 000 — 1 bit/dim blurs
+    wide-angle neighbors). ``rerank_mult=None`` therefore auto-scales
+    via :func:`hamming_auto_mult` — +16 per corpus doubling past 500
+    (one count() control read; the oracle computes the identical rule in
+    SQL) — which restores recall 0.775 at 2 000 vectors (full measured
+    curve at the constant above / PERFORMANCE.md) while the reranked
+    FRACTION still shrinks log-linearly. Pass an explicit int for a
+    fixed budget, or compose with IVF cell pruning (ivf_hamming_topk)
+    when even the signature scan must prune. Reported in bench next to
+    every other ANN path."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(embeddings.count())
     emb = _emb_normed(embeddings)
     lo, hi = _sign_sig_cols(F.col("ne"))
     sig = emb.select("vec_id", lo.alias("slo"), hi.alias("shi"))

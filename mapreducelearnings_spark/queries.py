@@ -1780,12 +1780,18 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hamming_oracle(
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = SS.HAMMING_RERANK_MULT,
     dims: int = SS.DIMS,
 ) -> str:
     """SQL mirror of SS.hamming_ann_topk: sign-bit signatures as two
     32-bit words, XOR+popcount pre-rank, exact rerank of the top
-    k·rerank_mult."""
+    k·rerank_mult — with rerank_mult computed by the SAME auto-scale
+    rule as SS.hamming_auto_mult (base + base per corpus doubling past
+    N0; power-of-two boundaries are IEEE-exact in both engines)."""
+    mult_sql = (
+        f"{SS.HAMMING_RERANK_MULT} * (1 + GREATEST(0, CAST(CEIL(LOG2("
+        f"GREATEST((SELECT COUNT(*) FROM e), 1) / {SS.HAMMING_RERANK_N0}.0"
+        f")) AS BIGINT)))"
+    )
     half = dims // 2
     slo = " + ".join(
         f"(CASE WHEN ne[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
@@ -1807,7 +1813,7 @@ def _hamming_oracle(
     cand AS (SELECT query_id, neighbor_id FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY hd ASC, neighbor_id ASC) AS hr FROM ham)
-             WHERE hr <= {k * rerank_mult}),
+             WHERE hr <= {k} * ({mult_sql})),
     scored AS (SELECT c.query_id, c.neighbor_id,
                ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
                FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
@@ -1827,15 +1833,17 @@ def _hamming_oracle(
     _hamming_oracle(),
     doc="Binary-signature ANN: 64-bit sign signatures (two 32-bit "
     "words; 64× smaller than the float64 vectors) scanned with "
-    "XOR+popcount Hamming pre-rank, then exact cosine rerank of the "
-    "per-query top 80. The 1-bit-per-dim limit of the quantized-scan "
-    "family (int8 scan = 8-bit sibling): integer-only linear scan over "
-    "16 bytes/row, ids-only through the pre-rank window, exact math "
-    "only on k·rerank_mult rows per query. Deterministic tiebreaks at "
-    "both ranks keep the approximate result fully oracle-checked; "
-    "recall@5 (0.575 at the sf0.1 corpus — the fixed rerank budget's "
-    "honest cost on wide-angle neighbors; see the function docstring "
-    "for the scaling rule) reported in bench next to the other paths.",
+    "XOR+popcount Hamming pre-rank, then exact cosine rerank of an "
+    "AUTO-SCALED per-query top R: +16·k per corpus doubling past 500 "
+    "vectors (hamming_auto_mult; the oracle computes the identical "
+    "rule as a scalar subquery), so recall holds as the corpus grows "
+    "while the reranked FRACTION shrinks log-linearly — 0.775 at the "
+    "sf0.1 corpus vs 0.575 under the old absolute R=80 (measured "
+    "curve in PERFORMANCE.md). The 1-bit-per-dim limit of the "
+    "quantized-scan family: integer-only linear scan over 16 "
+    "bytes/row, ids-only through the pre-rank window, exact math only "
+    "on R rows per query; deterministic tiebreaks at both ranks keep "
+    "the approximate result fully oracle-checked.",
 )
 def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.hamming_ann_topk(load_table(spark, sf_dir, "embeddings"))
