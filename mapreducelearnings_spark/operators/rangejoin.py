@@ -47,6 +47,15 @@ def _floor_div(col: Column, band: int) -> Column:
     to the join — any monotone quantization yields a correct cover —
     but floor keeps bands uniform-width across zero, where
     truncate-toward-zero would double-width the band at the origin.
+
+    Precondition (documented, not runtime-checked — a check would cost
+    a full scan of every input): ``x ≥ LONG_MIN + band``. Within
+    ``band`` of Long.MIN_VALUE the subtraction ``x - pmod(x, b)`` can
+    underflow and wrap (non-ANSI long arithmetic); the property test
+    covers ±2^62, far beyond any physical key domain (epoch
+    nanoseconds are < 2^63 only past year 2262; 2^62 is ~146 years of
+    nanos), and the wraparound strip occupies the last ``band`` values
+    above −2^63 — unreachable for real time/offset keys.
     """
     x = col.cast("long")
     b = F.lit(int(band)).cast("long")
@@ -69,11 +78,13 @@ def banded_interval_join(
     a band key instead of a nested loop.
 
     ``point_col`` / ``lo_col`` / ``hi_col`` must be integral (e.g.
-    epoch-microsecond longs); banding is exact 64-bit integer floor
-    division at every magnitude (no double rounding — see
-    :func:`_floor_div`). ``band`` is the band width in the same unit;
-    choose it near the typical interval length so each interval
-    explodes to ~2 bands.
+    epoch-microsecond longs) and at least ``band`` above
+    Long.MIN_VALUE (see :func:`_floor_div`'s precondition; any
+    physical time/offset domain satisfies this by ~19 orders of
+    magnitude); banding is then exact 64-bit integer floor division at
+    every magnitude (no double rounding). ``band`` is the band width
+    in the same unit; choose it near the typical interval length so
+    each interval explodes to ~2 bands.
     """
     if band <= 0:
         raise ValueError("band must be a positive integer")

@@ -51,6 +51,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(blob):
         cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {size} bytes but only "
+                f"{len(body)} present: truncated file"
+            )
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
@@ -64,8 +69,16 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             f"only PCM 16-bit WAV supported (format={tag}, bits={bits}); "
             "compressed audio needs a codec library"
         )
+    # strict like the image codecs (which raise on a short raster):
+    # a data chunk that is not a whole number of frames is corrupt, and
+    # silently truncating it would decode corrupt audio as valid.
+    if len(data) % (2 * ch) != 0:
+        raise ValueError(
+            f"WAV data chunk length {len(data)} is not a multiple of the "
+            f"{2 * ch}-byte frame size (16-bit x {ch}ch): corrupt/truncated"
+        )
     n = len(data) // (2 * ch)
-    arr = np.frombuffer(data[: n * 2 * ch], dtype="<i2").reshape(n, ch).copy()
+    arr = np.frombuffer(data, dtype="<i2").reshape(n, ch).copy()
     return arr, rate
 
 

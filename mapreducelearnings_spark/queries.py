@@ -5891,7 +5891,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ROTATION SCHEDULE (bounds evidence staleness; VERDICT r05 Next #4).
-# 147 entries / 50 slots ⇒ a fixed 3-round cycle (150 ≥ 147 still
+# 149 entries / 50 slots ⇒ a fixed 3-round cycle (150 ≥ 149 still
 # holds): every entry gets a driver row at least every 3 rounds, and
 # the r{N}+r{N-1}+r{N-2} union always covers the whole registry.
 # Standing rules, in priority order:

@@ -227,23 +227,27 @@ class JsonlSinkWriter(DataSourceWriter):
     def commit(self, messages):
         """Driver-side publish: exactly the attempts Spark reports as
         successful are renamed to visible part files; stray temp files
-        from failed/speculative attempts are swept. mode('overwrite')
-        clears every pre-existing part file FIRST — a re-save with fewer
-        partitions must not leave stale part-NNNNN files from the prior
-        run mixed into the new data — and mode('append') publishes under
-        a fresh uuid suffix so successive saves never collide on the
-        part index."""
+        from failed/speculative attempts are swept. Every save
+        publishes under a fresh uuid run suffix (successive appends
+        never collide on the part index), and mode('overwrite') renames
+        the NEW files in FIRST, then deletes stale parts from prior
+        runs — identified by a different run suffix — so a crash
+        mid-commit leaves a recoverable superset (old + some new), not
+        a dataset with no surviving copy, and the next overwrite's
+        sweep completes the cleanup (crash-ordering contract is
+        tested)."""
         import glob
         import os
         import uuid
 
-        if self.overwrite:
-            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                os.remove(stale)
         run = uuid.uuid4().hex[:8]
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{i:05d}-{run}.jsonl")
             os.replace(m.tmp_file, final)
+        if self.overwrite:
+            for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if not stale.endswith(f"-{run}.jsonl"):
+                    os.remove(stale)
         for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
             os.remove(orphan)
 

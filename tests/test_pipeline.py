@@ -1002,6 +1002,22 @@ def test_avcodec_wav_and_y4m_roundtrips():
         body = b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt + b"data" + _s.pack("<I", 0)
         AV.decode_wav(b"RIFF" + _s.pack("<I", len(body)) + body)
 
+    # strictness parity with the image codecs: corrupt audio must not
+    # silently decode to fewer samples
+    good = AV.encode_wav(rng.integers(-100, 100, size=(4, 2)).astype("<i2"), 8000)
+    with pytest.raises(ValueError, match="truncated"):
+        AV.decode_wav(good[:-1])  # short data chunk vs declared size
+    with pytest.raises(ValueError, match="frame size|truncated"):
+        # declared size trimmed to a non-multiple of the 4-byte frame
+        import struct as _s2
+
+        pos = good.rindex(b"data")
+        sz = _s2.unpack_from("<I", good, pos + 4)[0]
+        bad = bytearray(good[:-2])  # drop half a frame
+        _s2.pack_into("<I", bad, pos + 4, sz - 2)
+        _s2.pack_into("<I", bad, 4, len(bad) - 8)
+        AV.decode_wav(bytes(bad))
+
     for cs, w, h in [("444", 3, 2), ("420", 5, 3), ("mono", 4, 1)]:
         size = {"444": 3 * w * h, "420": w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2), "mono": w * h}[cs]
         frames = [bytes(rng.integers(0, 256, size=size, dtype=np.uint8)) for _ in range(4)]

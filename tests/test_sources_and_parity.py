@@ -591,6 +591,37 @@ def test_python_datasource_jsonl_sink_overwrite_and_append(
     assert back2.count() == 2 * small.count()
 
 
+def test_jsonl_sink_overwrite_publishes_before_sweeping(tmp_path):
+    """Crash-ordering contract of the overwrite commit: new part files
+    are renamed IN before stale parts are deleted, and the stale sweep
+    matches on the run suffix — so a crash mid-commit leaves old+new (a
+    recoverable superset), never an emptied directory. White-box: a
+    commit over a directory holding a prior run's part file must (a)
+    keep the new data, (b) remove exactly the prior-run file."""
+    import json
+    import os
+
+    from mapreducelearnings_spark.sources.pydatasource import (
+        JsonlSinkWriter,
+        _JsonlCommit,
+    )
+
+    out = tmp_path / "jsonl_crash"
+    out.mkdir()
+    stale = out / "part-00000-deadbeef.jsonl"
+    stale.write_text(json.dumps({"src": 0, "dst": 0}) + "\n")
+    tmp = out / "_tmp_feedc0de.jsonl"
+    tmp.write_text(json.dumps({"src": 1, "dst": 2}) + "\n")
+
+    w = JsonlSinkWriter({"path": str(out)}, overwrite=True)
+    w.commit([_JsonlCommit(tmp_file=str(tmp), rows=1)])
+
+    names = sorted(os.listdir(out))
+    assert len(names) == 1 and names[0].startswith("part-00000-")
+    assert names[0] != stale.name
+    assert json.loads((out / names[0]).read_text())["dst"] == 2
+
+
 def test_secondary_sort_rdd_twin_matches(spark, sf_dir):
     """The MR-native secondary sort — repartitionAndSortWithinPartitions
     on a (group, sort) composite key with a group-only partitioner, then
