@@ -283,7 +283,12 @@ def triangle_count_ordered(edges: DataFrame) -> DataFrame:
 
     Two shuffles on vertex keys (degree agg + wedge join) plus one
     two-column equi-join to close the wedge; degree table joins are
-    broadcast-eligible when small.
+    broadcast-eligible when small. The ``edges`` input appears in four
+    subtrees (degree union ×2, annotation, closing edge set) — AQE's
+    runtime exchange reuse dedupes the repeated derivations (measured:
+    7 ReusedExchange in the adaptive plan at sf0.01), so callers need
+    not pre-materialize; persist ``edges`` anyway when it is itself an
+    expensive derivation and AQE is off.
     """
     deg = (
         edges.select(F.col("src").alias("v"))

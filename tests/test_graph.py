@@ -349,3 +349,28 @@ def test_incremental_components_exact_and_touched_only(spark):
     # and the base-side remap is a broadcast join — no base shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_components_folds_over_batches(spark):
+    """Repeated maintenance stays exact: folding three successive delta
+    batches through incremental_components equals one from-scratch
+    clustering of everything — the steady-state streaming-dedup story
+    (labels are maintained forever, never rebuilt)."""
+    base_edges = spark.createDataFrame(
+        [(i, 100 + i) for i in range(10)], "src: long, dst: long"
+    )
+    batches = [
+        [(100, 101)],                  # merge comps 0 and 1
+        [(102, 103), (500, 9)],        # merge 2+3; new vertex 500 into 9
+        [(500, 104), (600, 601)],      # chain new into comp 4; new island
+    ]
+    labels = G.connected_components(spark, base_edges)
+    all_edges = base_edges
+    for rows in batches:
+        delta = spark.createDataFrame(rows, "src: long, dst: long")
+        labels = G.incremental_components(spark, labels, delta)
+        all_edges = all_edges.unionAll(delta)
+    scratch = G.connected_components(spark, all_edges)
+    assert sorted(map(tuple, labels.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
