@@ -589,6 +589,7 @@ def incremental_components(
     spark: SparkSession,
     base_labels: DataFrame,
     delta_edges: DataFrame,
+    materialize: bool = True,
     **cc_kwargs,
 ) -> DataFrame:
     """Merge a DELTA batch of edges into existing component labels
@@ -638,7 +639,15 @@ def incremental_components(
         .select("vertex", "component")
     )
     out = rebased.unionByName(delta_only)
-    return out
+    # Steady-state use folds batch after batch through this function
+    # (labels are maintained forever, never rebuilt). The fold scans
+    # its input labels four times (contract ×2, remap, delta_only), so
+    # without truncation each fold would replay every prior fold's
+    # plan — geometric recompute in the number of batches. Eager
+    # localCheckpoint (the same loop discipline connected_components
+    # ends with) pins each generation of labels to one materialized
+    # table. ``materialize=False`` returns the lazy plan (plan tests).
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def _star_round(edges: DataFrame, large: bool) -> DataFrame:

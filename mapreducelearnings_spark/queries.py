@@ -2627,7 +2627,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     _DEDUP_CLUSTERS_ORACLE,
     doc="Incremental cluster MAINTENANCE (graph.py "
     "incremental_components): the corpus is clustered once on the "
-    "'old' 90%% of documents, then the newest decile's LSH pairs "
+    "'old' 90% of documents, then the newest decile's LSH pairs "
     "arrive as a delta batch and are merged into the existing labels "
     "by clustering only the delta-sized COMPONENT graph and "
     "broadcast-remapping touched labels — the base is never "
@@ -2637,8 +2637,13 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.lsh_candidate_pairs(docs).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    # the shingle->minhash->band pipeline feeds FOUR downstream jobs
+    # (base CC, contracted-delta CC, remap, delta_only); persist it so
+    # the corpus-sized LSH work runs once, not once per job
+    pairs = (
+        DD.lsh_candidate_pairs(docs)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .persist()
     )
     # deterministic arrival split: the newest ~decile of doc ids is the
     # delta batch (1-row control read for the threshold)

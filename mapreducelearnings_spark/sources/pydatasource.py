@@ -229,14 +229,27 @@ class JsonlSinkWriter(DataSourceWriter):
         successful are renamed to visible part files; stray temp files
         from failed/speculative attempts are swept. Every save
         publishes under a fresh uuid run suffix (successive appends
-        never collide on the part index), and mode('overwrite') renames
-        the NEW files in FIRST, then deletes stale parts from prior
-        runs — identified by a different run suffix — so a crash
-        mid-commit leaves a recoverable superset (old + some new), not
-        a dataset with no surviving copy, and the next overwrite's
-        sweep completes the cleanup (crash-ordering contract is
-        tested)."""
+        never collide on the part index). mode('overwrite') is
+        crash-linearizable for manifest-aware readers via a 3-step
+        order, each step atomic:
+
+        1. rename the NEW part files in;
+        2. atomically swap ``_committed.json`` to name the new run
+           suffix (the commit point);
+        3. sweep stale parts from prior runs (different suffix).
+
+        A crash before step 2 leaves the OLD manifest → a manifest
+        reader still sees exactly the old run; a crash before step 3
+        leaves the new manifest → a manifest reader sees exactly the
+        new run; either way :func:`committed_parts` returns ONE
+        consistent dataset and the next overwrite's sweep completes
+        cleanup. A suffix-blind ``glob('part-*')`` reader sees a
+        superset only inside the step-2→3 crash window — the
+        documented trade against the old delete-first order, which
+        could lose BOTH copies. Ordering + manifest contracts are
+        tested."""
         import glob
+        import json
         import os
         import uuid
 
@@ -245,6 +258,11 @@ class JsonlSinkWriter(DataSourceWriter):
             final = os.path.join(self.path, f"part-{i:05d}-{run}.jsonl")
             os.replace(m.tmp_file, final)
         if self.overwrite:
+            manifest = os.path.join(self.path, "_committed.json")
+            tmp_manifest = manifest + f".{run}.tmp"
+            with open(tmp_manifest, "w") as f:
+                f.write(json.dumps({"run": run, "parts": len(messages)}))
+            os.replace(tmp_manifest, manifest)  # the commit point
             for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 if not stale.endswith(f"-{run}.jsonl"):
                     os.remove(stale)
@@ -268,6 +286,26 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options, overwrite)
+
+
+def committed_parts(path: str) -> list[str]:
+    """The one consistent view of an overwrite-mode pyjsonl directory:
+    the part files of the run named by ``_committed.json`` (crash
+    between publish and sweep leaves extra files on disk, but never a
+    manifest pointing at a half-present run — see
+    :meth:`JsonlSinkWriter.commit`). Falls back to all part files when
+    no manifest exists (append-only directories never write one)."""
+    import glob
+    import json
+    import os
+
+    manifest = os.path.join(path, "_committed.json")
+    parts = sorted(glob.glob(os.path.join(path, "part-*.jsonl")))
+    if not os.path.exists(manifest):
+        return parts
+    with open(manifest) as f:
+        run = json.load(f)["run"]
+    return [p for p in parts if p.endswith(f"-{run}.jsonl")]
 
 
 def register_jsonl_sink(spark) -> None:

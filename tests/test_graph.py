@@ -347,7 +347,12 @@ def test_incremental_components_exact_and_touched_only(spark):
     contracted = G.contract_delta(base_labels, delta)
     assert contracted.count() == 2
     # and the base-side remap is a broadcast join — no base shuffle
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (materialize=False exposes the lazy plan; the default eagerly
+    # localCheckpoints, which replaces the plan with an RDD scan)
+    lazy = G.incremental_components(
+        spark, base_labels, delta, materialize=False
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 

@@ -223,10 +223,12 @@ def test_ivf_lloyd_trained_quantizer(spark, sf_dir):
 
 def test_hamming_ann_recall_beats_single_lsh_floor(spark, sf_dir):
     """The 1-bit signature pre-rank + exact rerank must recall far more
-    than the single-table LSH floor and at least half the truth at this
-    corpus size (measured 0.8 at 500 vectors, 0.575 at 2 000 — the
-    fixed R=80 rerank budget's documented decay), and every returned
-    cos must be exact (it is re-scored full precision)."""
+    than the single-table LSH floor and at least half the truth at any
+    corpus size — the default budget AUTO-SCALES with the corpus since
+    round 7 (hamming_auto_mult: R=80 at ≤500 vectors → recall 0.8,
+    R=240 at the 2 000-vector sf0.1 corpus → 0.775; the old fixed R=80
+    decayed to 0.575 there) — and every returned cos must be exact (it
+    is re-scored full precision)."""
     emb = load_table(spark, sf_dir, "embeddings")
     truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
     got = SS.hamming_ann_topk(emb, n_queries=8, k=5).collect()
@@ -243,10 +245,11 @@ def test_hamming_ann_recall_beats_single_lsh_floor(spark, sf_dir):
 
 def test_pq_adc_recall_and_exact_rerank(spark, sf_dir):
     """PQ-ADC at the R=80 rerank budget: high recall at this corpus
-    size (≥0.9; at sf0.1 it holds 0.825 vs sign-Hamming's 0.575 at the
-    SAME budget — the codebook adapts where sign bits can't, compared
-    in bench where the corpus is big enough to separate them), and
-    every returned cos is exact (full-precision rerank)."""
+    size (≥0.9; at sf0.1 it holds 0.825 vs 0.575 for sign-Hamming at
+    the same FIXED R=80 — the codebook adapts where sign bits can't;
+    the flat Hamming default auto-scales its budget since round 7, so
+    bench now compares them at different budgets), and every returned
+    cos is exact (full-precision rerank)."""
     emb = load_table(spark, sf_dir, "embeddings")
     truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
     pq = SS.pq_adc_topk(emb, n_queries=8, k=5).collect()
@@ -259,10 +262,13 @@ def test_pq_adc_recall_and_exact_rerank(spark, sf_dir):
 
 
 def test_ivf_hamming_composition_recall(spark, sf_dir):
-    """The IVF×Hamming composition must recall ≥ the flat Hamming scan
-    at the same rerank budget at this corpus size (measured 0.75 vs
-    0.575 at sf0.1 — pruning to plausible cells concentrates the fixed
-    budget), with exact cos values on returned truth pairs."""
+    """The IVF×Hamming composition must stay within 0.1 recall of the
+    flat Hamming scan, with exact cos values on returned truth pairs.
+    NOTE the budgets differ since round 7: the composition keeps the
+    fixed R=80 (cell pruning already concentrates it — 0.75 at sf0.1
+    vs the old flat 0.575 at the same R), while the flat scan
+    auto-scales its budget (0.775 at sf0.1 with R=240); the 0.1 margin
+    absorbs that asymmetry."""
     emb = load_table(spark, sf_dir, "embeddings")
     truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
     comp = SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()

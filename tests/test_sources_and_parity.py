@@ -568,7 +568,7 @@ def test_python_datasource_jsonl_sink_overwrite_and_append(
     edges.repartition(6).write.format("pyjsonl").mode("overwrite").option(
         "path", out
     ).save()
-    assert len(os.listdir(out)) == 6
+    assert len([n for n in os.listdir(out) if n.startswith("part-")]) == 6
     small = edges.limit(40)
     small.repartition(2).write.format("pyjsonl").mode("overwrite").option(
         "path", out
@@ -616,10 +616,22 @@ def test_jsonl_sink_overwrite_publishes_before_sweeping(tmp_path):
     w = JsonlSinkWriter({"path": str(out)}, overwrite=True)
     w.commit([_JsonlCommit(tmp_file=str(tmp), rows=1)])
 
-    names = sorted(os.listdir(out))
+    names = sorted(n for n in os.listdir(out) if n.startswith("part-"))
     assert len(names) == 1 and names[0].startswith("part-00000-")
     assert names[0] != stale.name
     assert json.loads((out / names[0]).read_text())["dst"] == 2
+
+    # manifest contract: _committed.json names the winning run, and
+    # committed_parts filters to exactly that run even when a stale
+    # part lingers (the publish->sweep crash window)
+    from mapreducelearnings_spark.sources.pydatasource import committed_parts
+
+    run = json.loads((out / "_committed.json").read_text())["run"]
+    assert names[0].endswith(f"-{run}.jsonl")
+    (out / "part-00099-0ddba11c.jsonl").write_text("{}\n")  # fake stale
+    assert [os.path.basename(p) for p in committed_parts(str(out))] == [
+        names[0]
+    ]
 
 
 def test_secondary_sort_rdd_twin_matches(spark, sf_dir):
