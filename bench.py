@@ -193,20 +193,47 @@ _CALIBRATION_REF_SEC = 0.62
 _CALIBRATION_TOL = 0.20
 
 
+def _probe_loop(n: int) -> float:
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return time.perf_counter() - t0
+
+
 def _calibration_probe() -> float:
     """Fixed-work single-thread CPU loop; governor warmup, then min of
     3 to shed scheduler noise while staying sensitive to sustained
     contention."""
+    _probe_loop(5_000_000)  # let the frequency governor reach steady state
+    return round(min(_probe_loop(10_000_000) for _ in range(3)), 4)
 
-    def _loop(n: int) -> float:
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(n):
-            acc += i * i
-        return time.perf_counter() - t0
 
-    _loop(5_000_000)  # let the frequency governor reach steady state
-    return round(min(_loop(10_000_000) for _ in range(3)), 4)
+# All-core throughput reference: the single-thread probe cannot see
+# ALL-CORE frequency capping — measured on this box, a 32-wide spin
+# runs each loop 1.34× slower than the 1-thread boost clock (median
+# 0.833 vs 0.62, steal 0%), and that all-core rate moves with host
+# tenancy while 1-thread probes stay flat. Round 7 measured two
+# clean-1-thread-probe runs 13–22% above round 6's clean total with
+# NOTHING else running, then watched the wide probe itself swing
+# 0.83 → 0.61 within the hour on an idle guest — the wide probe
+# exists to make exactly that drift visible in the artifact.
+# Reference = median of a 32-way pool of the 10M loop on a GOOD host
+# window (0.60-0.64 observed); same ±tolerance as the narrow probe.
+_CALIBRATION_WIDE_REF_SEC = 0.62
+
+
+def _calibration_probe_wide(workers: int = 32) -> float:
+    """Median per-process time of `workers` concurrent fixed-work
+    loops — the all-core throughput the query workload actually sees."""
+    import multiprocessing as mp
+
+    try:
+        with mp.Pool(workers) as pool:
+            times = pool.map(_probe_loop, [10_000_000] * workers)
+        return round(sorted(times)[len(times) // 2], 4)
+    except Exception:
+        return float("nan")  # never let calibration kill a bench run
 
 
 def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
@@ -322,15 +349,20 @@ def main() -> None:
     # comparison honest. Their own residue is negligible (<3 s of
     # narrow work) and the warmup query has already run.
     probe_before = _calibration_probe()
+    wide_before = _calibration_probe_wide()
     load_before = os.getloadavg()
     surface_twins = _time_set(SURFACE_TWINS)
     timings = _time_set(HEADLINE)
     probe_after = _calibration_probe()
+    wide_after = _calibration_probe_wide()
     load_after = os.getloadavg()
 
     contended = any(
         p > _CALIBRATION_REF_SEC * (1 + _CALIBRATION_TOL)
         for p in (probe_before, probe_after)
+    ) or any(
+        w == w and w > _CALIBRATION_WIDE_REF_SEC * (1 + _CALIBRATION_TOL)
+        for w in (wide_before, wide_after)  # w==w filters the nan fallback
     )
     total = round(sum(timings.values()), 4)
     result = {
@@ -348,6 +380,9 @@ def main() -> None:
             "ref_sec": _CALIBRATION_REF_SEC,
             "probe_before_sec": probe_before,
             "probe_after_sec": probe_after,
+            "wide_ref_sec": _CALIBRATION_WIDE_REF_SEC,
+            "wide_before_sec": wide_before,
+            "wide_after_sec": wide_after,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
             "contended": contended,
