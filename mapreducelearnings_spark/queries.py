@@ -2638,12 +2638,17 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the shingle->minhash->band pipeline feeds FOUR downstream jobs
-    # (base CC, contracted-delta CC, remap, delta_only); persist it so
-    # the corpus-sized LSH work runs once, not once per job
+    # (base CC, contracted-delta CC, remap, delta_only); a LAZY
+    # localCheckpoint materializes it once at the first job and reuses
+    # the RDD after — chosen over .persist() because persist registers
+    # the subtree in the session CacheManager, which silently rewrote
+    # the UNRELATED dedup_minhash_lsh query's audited plan around an
+    # InMemoryRelation (PLANS.md 2→3 exchanges with zero code change
+    # there); localCheckpoint reuses without cross-query pollution
     pairs = (
         DD.lsh_candidate_pairs(docs)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # deterministic arrival split: the newest ~decile of doc ids is the
     # delta batch (1-row control read for the threshold)
