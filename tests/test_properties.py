@@ -38,7 +38,8 @@ def test_triangle_plans_agree_on_random_graphs(spark, edges):
         return
     a = G.triangle_count(df, broadcast_probe=False).first()["triangles"]
     b = G.triangle_count(df, broadcast_probe=True).first()["triangles"]
-    assert a == b
+    c = G.triangle_count_ordered(df).first()["triangles"]
+    assert a == b == c
 
 
 @settings(max_examples=6, deadline=None)
@@ -509,3 +510,64 @@ def test_degree_distribution_matches_python_reference(spark, edges):
     degrees = Counter(s for s, _ in edges)
     hist = Counter(degrees.values())
     assert got == sorted((d, n) for d, n in hist.items())
+
+
+def _bpe_reference(texts: list[str], rounds: int):
+    """Pure-Python greedy BPE trainer — the independent oracle for
+    pipeline.bpe.train_merges (cross-implementation pattern, SURVEY §5):
+    symbols as tuples, naive adjacent-pair counts with multiplicity,
+    (count DESC, lhs ASC, rhs ASC) tiebreak, greedy LEFT-TO-RIGHT
+    non-overlapping merge."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            wf[w] += 1
+    vocab = {tuple(w): f for w, f in wf.items()}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pc = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (lhs, rhs), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, lhs, rhs, cnt))
+        nxt = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + f
+        vocab = nxt
+    return merges
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(_bpe_words, min_size=1, max_size=3))
+def test_bpe_trainer_matches_python_reference(spark, docs):
+    """The distributed trainer must reproduce the pure-Python greedy
+    trainer exactly on random tiny-alphabet corpora — the {a,b}
+    alphabet maximizes overlapping-pair and tie-break pressure (the
+    regimes where a wrong replace/count/tiebreak shows)."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    texts = [" ".join(ws) for ws in docs]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = [tuple(r) for r in BP.train_merges(spark, df, rounds=4).collect()]
+    assert got == _bpe_reference(texts, rounds=4)
