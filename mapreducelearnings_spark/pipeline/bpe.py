@@ -132,3 +132,47 @@ def train_merges(
     return spark.createDataFrame(
         merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
     )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """The trainer's other half: tokenize a corpus with an ordered
+    merge list (as produced by :func:`train_merges`). Each word is
+    wrapped into the delimited symbol form and every merge is applied
+    IN TRAINING ORDER as one chained builtin ``replace`` — the same
+    greedy left-to-right semantics the trainer used, so
+    encode(train()) round-trips exactly (property-tested against a
+    pure-Python encoder). The whole encode is a single map-only
+    codegen projection of depth ``len(merges)`` — no UDF, no shuffle;
+    at 100 TB this runs at scan speed and the merge list (a few 10k
+    entries for a real tokenizer) stays a plan literal or broadcast.
+
+    Returns (id columns passthrough, word, tokens array<string>) one
+    row per word occurrence group — callers explode/aggregate as
+    needed.
+    """
+    wrapped = F.regexp_replace(F.col("word"), "(.)", "|$1|")
+    col = wrapped
+    for lhs, rhs in merges:
+        col = F.replace(col, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{lhs}{rhs}|"))
+    words = docs.select(
+        "*",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_WORD_PATTERN), 0
+            )
+        ).alias("word"),
+    ).drop(text_col)
+    # project the merged string first, then trim/split it BY NAME — the
+    # two-select shape also stops the merge chain from being re-derived
+    # per reference (the lesson-15 multi-reference hazard)
+    merged = words.select("*", col.alias("_merged"))
+    return merged.select(
+        "*",
+        F.split(
+            F.expr("trim(BOTH '|' FROM _merged)"), r"\|\|"
+        ).alias("tokens"),
+    ).drop("_merged")

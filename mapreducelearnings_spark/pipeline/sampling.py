@@ -136,3 +136,73 @@ def priority_sample(
             (F.floor(F.col("_pri") * 10000 + 0.5) / 10000).alias("priority"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + hash split (round 7; tests-only
+# capabilities — no registry slot needed, the rotation is at capacity)
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: every row
+    gets a pseudo-random order key derived from md5(id || epoch) — a
+    different but REPRODUCIBLE permutation per epoch, no RNG state, no
+    driver involvement. Returns the input plus ``shuffle_key``; callers
+    write with ``repartitionByRange(n_shards, shuffle_key)`` +
+    ``sortWithinPartitions`` so each output shard is a contiguous,
+    globally-unbiased slice — the ONE total-ordering pattern that never
+    funnels 100 TB through a single-partition global sort (range
+    partitioning samples boundaries, then shards sort independently).
+    ``n_shards`` applies that layout here when given; leave None to
+    keep the plan shuffle-free and let the writer choose.
+    """
+    key = X.md5_long(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(str(epoch)))
+    ).alias("shuffle_key")
+    out = docs.select("*", key)
+    if n_shards:
+        out = out.repartitionByRange(n_shards, "shuffle_key")
+    return out
+
+
+SPLIT_MOD = 1_000_000
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(id || salt) mod M
+    falls into cumulative weight brackets. Properties a training
+    pipeline needs and RNG-based splits lose: stable under reruns AND
+    under corpus growth (a document's split never changes when other
+    documents arrive — the decision depends only on its own id), and
+    map-only (zero shuffles). Weights must sum to ≤ 1; any remainder
+    is assigned to the LAST split (so {"train": .9, "val": .05,
+    "test": .05} is exact). Returns the input plus ``split``.
+    """
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("weights must sum to at most 1")
+    u = X.md5_long(
+        F.concat_ws("#", F.col(id_col).cast("string"), F.lit(salt))
+    ) % SPLIT_MOD
+    names = list(weights)
+    expr, acc = None, 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < int(acc * SPLIT_MOD)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(names[-1])
+    return docs.select("*", split.alias("split"))

@@ -1146,3 +1146,85 @@ def test_bpe_merges_exhaustion(spark):
     out = BP.train_merges(spark, docs, rounds=5).collect()
     assert len(out) == 1  # (a,b) merges once; then no pairs remain
     assert (out[0]["lhs"], out[0]["rhs"], out[0]["pair_cnt"]) == ("a", "b", 2)
+
+
+def test_bpe_encode_round_trips_training_merges(spark):
+    """encode(train()) must reproduce the pure-Python greedy encoder:
+    same token sequence per word, merges applied in training order with
+    left-to-right non-overlap semantics."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaa low low low lower"), (2, "low lowest aaaa")],
+        "doc_id: long, text: string",
+    )
+    trained = [(r["lhs"], r["rhs"]) for r in BP.train_merges(spark, docs, 4).collect()]
+    out = BP.encode_tokens(docs, trained).collect()
+
+    def py_encode(word):
+        syms = list(word)
+        for lhs, rhs in trained:
+            o, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    o.append(lhs + rhs)
+                    i += 2
+                else:
+                    o.append(syms[i])
+                    i += 1
+            syms = o
+        return syms
+
+    assert out, "encoder returned no rows"
+    for r in out:
+        assert list(r["tokens"]) == py_encode(r["word"]), r["word"]
+        assert "".join(r["tokens"]) == r["word"]  # lossless
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark, sf_dir):
+    """Same epoch → identical permutation across runs; different epochs
+    → different permutations; keys are unique (a total order)."""
+    from mapreducelearnings_spark.pipeline import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    e1a = {r["doc_id"]: r["shuffle_key"] for r in SA.epoch_shuffle(docs, 1).collect()}
+    e1b = {r["doc_id"]: r["shuffle_key"] for r in SA.epoch_shuffle(docs, 1).collect()}
+    e2 = {r["doc_id"]: r["shuffle_key"] for r in SA.epoch_shuffle(docs, 2).collect()}
+    assert e1a == e1b
+    assert e1a != e2
+    assert len(set(e1a.values())) == len(e1a)  # total order
+    # range layout: each output shard holds a contiguous key range
+    sharded = SA.epoch_shuffle(docs, 1, n_shards=4)
+    ranges = sharded.rdd.mapPartitions(
+        lambda it: [(lambda ks: (min(ks), max(ks)) if ks else None)(
+            [r["shuffle_key"] for r in it]
+        )]
+    ).collect()
+    spans = sorted(r for r in ranges if r)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # non-overlapping contiguous ranges
+
+
+def test_hash_split_stable_and_proportional(spark, sf_dir):
+    """Assignments are per-id stable (independent of which other rows
+    are present), every row lands in exactly one split, and fractions
+    approximate the weights."""
+    from mapreducelearnings_spark.pipeline import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    full = {r["doc_id"]: r["split"] for r in SA.hash_split(docs, w).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in SA.hash_split(docs.where("doc_id % 2 = 0"), w).collect()
+    }
+    assert all(full[i] == s for i, s in half.items())  # growth-stable
+    n = len(full)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(full.values()).items()}
+    assert abs(frac["train"] - 0.8) < 0.08 and abs(frac.get("val", 0) - 0.1) < 0.05
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        SA.hash_split(docs, {"a": 0.9, "b": 0.3})
