@@ -300,6 +300,18 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Probes run OUTSIDE the JVM's lifetime (before the session exists,
+    # after spark.stop()): inside a live session the 32-wide probe
+    # competes with the executor's own GC threads — measured 0.77-0.93
+    # right after the ANN block on totals-consistent runs, a systematic
+    # false-positive that flagged three clean runs in a row. Outside
+    # the JVM the probes sample HOST conditions, which is the thing the
+    # contended flag is about.
+    probe_before = _calibration_probe()
+    wide_before = _calibration_probe_wide()
+    load_before = os.getloadavg()
+
     spark = get_spark("bench")
 
     # one throwaway query absorbs JVM/codegen warmup, then every query is
@@ -348,11 +360,11 @@ def main() -> None:
     # timing the twins before it keeps the twin-vs-codegen-twin
     # comparison honest. Their own residue is negligible (<3 s of
     # narrow work) and the warmup query has already run.
-    probe_before = _calibration_probe()
-    wide_before = _calibration_probe_wide()
-    load_before = os.getloadavg()
     surface_twins = _time_set(SURFACE_TWINS)
     timings = _time_set(HEADLINE)
+    recall = _ann_recall_at_k(spark, sf_dir)
+    spark.stop()
+
     probe_after = _calibration_probe()
     wide_after = _calibration_probe_wide()
     load_after = os.getloadavg()
@@ -373,7 +385,7 @@ def main() -> None:
         # Python-execution API demos, excluded from `value` by policy —
         # see SURFACE_TWINS above.
         "surface_twins": surface_twins,
-        "recall_at_5": _ann_recall_at_k(spark, sf_dir),
+        "recall_at_5": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Contention self-defense block — see _calibration_probe above.
         "calibration": {
@@ -395,7 +407,6 @@ def main() -> None:
     # very last thing printed with nothing after it.
     with open(os.path.join(os.path.dirname(__file__), "bench_out.json"), "w") as f:
         f.write(line + "\n")
-    spark.stop()
     print(line, flush=True)
 
 
