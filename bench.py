@@ -75,6 +75,12 @@ HEADLINE = [
     "token_counts_bpe",
     "token_doc_frequency",
     "bpe_merges",
+    # round-8: tokenizer encode + epoch shuffle + hash split + merged
+    # set-ops entry (VERDICT r07 Next #2)
+    "bpe_encode_tokens",
+    "epoch_shuffle",
+    "hash_split",
+    "set_ops",
     # custom operators + format coverage
     "asof_latest_order",
     "events_props_json",
@@ -143,7 +149,10 @@ HEADLINE = [
     # with zero code change — VERDICT r03 "What's wrong #3"). Running it
     # after every narrow query removes that contamination channel.
     "similarity_topk",
-    "ann_lsh_topk_single_baseline",
+    # ann_lsh_topk_single_baseline retired from the registry (r8): its
+    # recall@5 floor is still reported in the "recall" block below via a
+    # direct simsearch call, it just no longer occupies a timed headline
+    # slot or a driver correctness slot.
     "ann_lsh_topk_multi",
     "ann_lsh_topk_multiprobe",
     "ann_ivf_topk",

@@ -117,6 +117,24 @@ def test_multi_table_ann_recall_geq_single_table(spark, sf_dir):
     assert multi >= max(single, 0.5), (multi, single)
 
 
+def test_lsh_single_table_is_the_recall_floor(spark, sf_dir):
+    """Pin for the ann_lsh_topk_single_baseline retirement (r8): the
+    single-table path exists only as the measured recall FLOOR of the
+    ANN family — it must stay strictly below the multi-table path
+    (which dominates it by construction) while remaining deterministic
+    and cartesian-free (plan asserted in test_plans). If this floor
+    ever rises to parity, the baseline has stopped earning its keep in
+    bench.py's recall report."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = SS.cosine_topk(emb, n_queries=8, k=5).collect()
+    single = _recall_at_k(truth, SS.lsh_ann_topk(emb, n_queries=8, k=5).collect())
+    multi = _recall_at_k(
+        truth, SS.lsh_ann_topk_multi(emb, n_queries=8, k=5).collect()
+    )
+    assert single <= multi
+    assert single < 0.5, f"recall floor unexpectedly high: {single:.3f}"
+
+
 def test_multiprobe_ann_recall_geq_single_probe(spark, sf_dir):
     """Multi-probe (home bucket + lowest-margin flip per table) can only
     ADD candidates over the single-probe multi-table path, so its

@@ -7,11 +7,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mapreducelearnings_spark.queries import REGISTRY
+from mapreducelearnings_spark.queries import REGISTRY, RETIRED
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].spark(spark, sf_dir)
+    spec = REGISTRY.get(name) or RETIRED[name]
+    df = spec.spark(spark, sf_dir)
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
