@@ -581,6 +581,10 @@ def contract_delta(base_labels: DataFrame, delta_edges: DataFrame) -> DataFrame:
             F.coalesce("csrc", "src").alias("src"),
             F.coalesce("cdst", "dst").alias("dst"),
         )
+        # a delta edge internal to one existing component contracts to a
+        # self-loop — it merges nothing, so drop it here (delta-sized
+        # filter) instead of letting it ride as a clustered row
+        .where(F.col("src") != F.col("dst"))
         .distinct()
     )
 

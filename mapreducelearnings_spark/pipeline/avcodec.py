@@ -69,6 +69,11 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             f"only PCM 16-bit WAV supported (format={tag}, bits={bits}); "
             "compressed audio needs a codec library"
         )
+    # a fmt chunk declaring 0 channels is corrupt, not unsupported —
+    # validate before the frame-size modulo so it gets the ValueError
+    # contract instead of a ZeroDivisionError (ADVICE r7)
+    if ch < 1:
+        raise ValueError(f"WAV fmt chunk declares {ch} channels: corrupt")
     # strict like the image codecs (which raise on a short raster):
     # a data chunk that is not a whole number of frames is corrupt, and
     # silently truncating it would decode corrupt audio as valid.

@@ -257,8 +257,8 @@ class JsonlSinkWriter(DataSourceWriter):
         for i, m in enumerate(messages):
             final = os.path.join(self.path, f"part-{i:05d}-{run}.jsonl")
             os.replace(m.tmp_file, final)
+        manifest = os.path.join(self.path, "_committed.json")
         if self.overwrite:
-            manifest = os.path.join(self.path, "_committed.json")
             tmp_manifest = manifest + f".{run}.tmp"
             with open(tmp_manifest, "w") as f:
                 f.write(json.dumps({"run": run, "parts": len(messages)}))
@@ -266,6 +266,16 @@ class JsonlSinkWriter(DataSourceWriter):
             for stale in glob.glob(os.path.join(self.path, "part-*.jsonl")):
                 if not stale.endswith(f"-{run}.jsonl"):
                     os.remove(stale)
+        elif os.path.exists(manifest):
+            # Append onto a previously-overwritten directory: a stale
+            # single-run manifest would hide every appended part from
+            # committed_parts(), so the append's commit point (for
+            # manifest-aware readers) is the atomic removal of the
+            # manifest — the directory degrades to append-mode and the
+            # reader falls back to all visible parts. A crash before
+            # the remove leaves a consistent-but-stale view (exactly
+            # the pre-append dataset), never a torn one.
+            os.remove(manifest)
         for orphan in glob.glob(os.path.join(self.path, "_tmp_*.jsonl")):
             os.remove(orphan)
 
@@ -294,7 +304,10 @@ def committed_parts(path: str) -> list[str]:
     between publish and sweep leaves extra files on disk, but never a
     manifest pointing at a half-present run — see
     :meth:`JsonlSinkWriter.commit`). Falls back to all part files when
-    no manifest exists (append-only directories never write one)."""
+    no manifest exists: append-only directories never write one, and
+    an append onto an overwritten directory atomically removes the
+    stale manifest at its commit (so appended parts are never silently
+    hidden here)."""
     import glob
     import json
     import os

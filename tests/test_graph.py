@@ -331,9 +331,11 @@ def test_incremental_components_exact_and_touched_only(spark):
     )
     base_labels = G.connected_components(spark, base_edges)
     # delta: join components 3 and 7, attach brand-new vertex 9999 to
-    # component 11
+    # component 11, plus an edge INTERNAL to component 5 — it contracts
+    # to a self-loop, merges nothing, and must be dropped before
+    # clustering (ADVICE r7)
     delta = spark.createDataFrame(
-        [(1003, 1007), (9999, 11)], "src: long, dst: long"
+        [(1003, 1007), (9999, 11), (5, 1005)], "src: long, dst: long"
     )
     out = G.incremental_components(spark, base_labels, delta)
 
@@ -343,9 +345,12 @@ def test_incremental_components_exact_and_touched_only(spark):
     )
 
     # touched-only work: the contracted graph the incremental path
-    # clusters has exactly |delta| edges (2), not |base|+|delta| (52)
+    # clusters has exactly the 2 component-merging delta edges — the
+    # internal edge's self-loop is filtered, and the base's 50 edges
+    # never appear
     contracted = G.contract_delta(base_labels, delta)
     assert contracted.count() == 2
+    assert contracted.where(F.col("src") == F.col("dst")).count() == 0
     # and the base-side remap is a broadcast join — no base shuffle
     # (materialize=False exposes the lazy plan; the default eagerly
     # localCheckpoints, which replaces the plan with an RDD scan)

@@ -1041,6 +1041,17 @@ def test_avcodec_wav_and_y4m_roundtrips():
         _s2.pack_into("<I", bad, pos + 4, sz - 2)
         _s2.pack_into("<I", bad, 4, len(bad) - 8)
         AV.decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="0 channels"):
+        # fmt chunk declaring 0 channels is corrupt (ValueError), not a
+        # ZeroDivisionError from the frame-size modulo (ADVICE r7)
+        import struct as _s3
+
+        fmt0 = _s3.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+        body0 = (
+            b"WAVE" + b"fmt " + _s3.pack("<I", len(fmt0)) + fmt0
+            + b"data" + _s3.pack("<I", 0)
+        )
+        AV.decode_wav(b"RIFF" + _s3.pack("<I", len(body0)) + body0)
 
     for cs, w, h in [("444", 3, 2), ("420", 5, 3), ("mono", 4, 1)]:
         size = {"444": 3 * w * h, "420": w * h + 2 * ((w + 1) // 2) * ((h + 1) // 2), "mono": w * h}[cs]

@@ -634,6 +634,43 @@ def test_jsonl_sink_overwrite_publishes_before_sweeping(tmp_path):
     ]
 
 
+def test_jsonl_append_after_overwrite_clears_manifest(tmp_path):
+    """ADVICE r7: an append onto a previously-overwritten directory must
+    not leave the old single-run manifest behind — committed_parts()
+    would silently hide every appended part. The append commit removes
+    the manifest (its commit point for manifest readers), after which
+    committed_parts falls back to ALL visible parts."""
+    import json
+    import os
+
+    from mapreducelearnings_spark.sources.pydatasource import (
+        JsonlSinkWriter,
+        _JsonlCommit,
+        committed_parts,
+    )
+
+    out = tmp_path / "jsonl_ow_then_app"
+    out.mkdir()
+    tmp1 = out / "_tmp_00000001.jsonl"
+    tmp1.write_text(json.dumps({"src": 1, "dst": 1}) + "\n")
+    JsonlSinkWriter({"path": str(out)}, overwrite=True).commit(
+        [_JsonlCommit(tmp_file=str(tmp1), rows=1)]
+    )
+    assert (out / "_committed.json").exists()
+
+    tmp2 = out / "_tmp_00000002.jsonl"
+    tmp2.write_text(json.dumps({"src": 2, "dst": 2}) + "\n")
+    JsonlSinkWriter({"path": str(out)}, overwrite=False).commit(
+        [_JsonlCommit(tmp_file=str(tmp2), rows=1)]
+    )
+    assert not (out / "_committed.json").exists()
+    parts = committed_parts(str(out))
+    assert len(parts) == 2  # both the overwrite run and the append run
+    assert sorted(os.path.basename(p) for p in parts) == sorted(
+        n for n in os.listdir(out) if n.startswith("part-")
+    )
+
+
 def test_secondary_sort_rdd_twin_matches(spark, sf_dir):
     """The MR-native secondary sort — repartitionAndSortWithinPartitions
     on a (group, sort) composite key with a group-only partitioner, then
