@@ -407,6 +407,12 @@ def sssp_with_paths(
 # ---------------------------------------------------------------------------
 
 
+# Diagnostics from the most recent connected_components call (driver-side
+# observability for tests and ops: how big was the residual the driver
+# union-find actually read, and how many extra/star rounds fired).
+CC_LAST_STATS: dict[str, int] = {}
+
+
 def _forest_contract(edges: DataFrame) -> DataFrame:
     """One distributed contraction pass: per-partition UNION-FIND over
     the edge stream (Arrow batches via mapInPandas), emitting the local
@@ -466,7 +472,8 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 8,
     loop_partitions: int | None = 8,
-    driver_edge_cap: int = 2_000_000,
+    driver_edge_cap: int = 100_000,
+    star_budget: int = 12,
 ) -> DataFrame:
     """Undirected connected components — the SURVEY.md §2.11 near-dedup
     clustering step (candidate PAIRS become duplicate CLUSTERS).
@@ -480,18 +487,27 @@ def connected_components(
        connectivity, |V| narrow rows, embarrassingly parallel;
     2. the ROOT GRAPH (edges among local roots, bounded by
        partition-boundary vertices, ≪ |V|) is contracted again while it
-       exceeds ``driver_edge_cap``, then merged with a driver-side
-       union-find — the contracted map (root → component) is a k-row
-       control read, exactly like the k-means centroid collect;
+       exceeds ``driver_edge_cap``: first up to ``max_iter`` plain
+       forest rounds, then — if a hostile partition layout keeps the
+       per-partition union-find from making progress — each further
+       round prepends one alternating large-/small-star contraction
+       (:func:`_star_round`, pure JVM, layout-independent label
+       progress; Kiveris et al. SoCC 2014) before the forest pass, up
+       to ``star_budget`` rounds. Star rounds preserve both components
+       and the vertex set (every non-isolated vertex reappears), so
+       the (root → contracted-root) composition below is unchanged.
+       The residual handed to the driver-side union-find is therefore
+       bounded by ``driver_edge_cap`` REGARDLESS of partition layout
+       (up to the star budget, which converges in O(log²) rounds per
+       the paper) — a k-row control read like the centroid collect;
     3. one broadcast join + min-agg maps every vertex to its component.
 
     Returns (vertex, component) with component = min vertex id in the
     component (union-by-min keeps every local root the minimum of its
     tree, and every vertex ≥ its root, so the global min survives both
     phases). At 100 TB: phase 1 scales with edge partitions, phase 2
-    touches only boundary vertices (raise ``driver_edge_cap`` /
-    ``max_iter`` for adversarial partition layouts), phase 3 is one
-    shuffle on (vertex) — no O(diameter) loop ever runs.
+    touches only boundary vertices, phase 3 is one shuffle on (vertex)
+    — no O(diameter) loop ever runs.
     """
     e = edges.select("src", "dst")
     if loop_partitions:
@@ -501,13 +517,29 @@ def connected_components(
         g = _root_graph(forest)
         rounds = 0
         extra = []  # (root → contracted-root) maps from extra rounds
-        while rounds < max_iter and g.count() > driver_edge_cap:
+        n = g.count()
+        while n > driver_edge_cap and rounds < max_iter + star_budget:
+            src = g
+            if rounds >= max_iter:
+                # forest-only budget exhausted above the cap: the
+                # adversarial case where consecutive path vertices
+                # never co-locate, so partition-local union-find
+                # stalls. One star round contracts toward component
+                # minima independent of layout; the forest pass then
+                # folds the contraction into a composable root map.
+                src = _star_round(
+                    g, large=((rounds - max_iter) % 2 == 0)
+                ).localCheckpoint(eager=True)
             f2 = _forest_contract(
-                g.repartition(loop_partitions or 8, "src")
+                src.repartition(loop_partitions or 8, "src")
             ).persist(StorageLevel.MEMORY_AND_DISK)
             extra.append(f2)
             g = _root_graph(f2)
+            n = g.count()
             rounds += 1
+        CC_LAST_STATS["residual_edges"] = n
+        CC_LAST_STATS["rounds"] = rounds
+        CC_LAST_STATS["star_rounds"] = max(0, rounds - max_iter)
 
         # driver union-find over the residual root graph (small by
         # construction; a k-row control read like the centroid collect)
@@ -530,9 +562,22 @@ def connected_components(
         labels = forest
         for f2 in extra:
             # compose: vertex → root → contracted root (left join: roots
-            # untouched by the extra round keep their label)
-            m = f2.select(
-                F.col("src").alias("_r"), F.col("dst").alias("_c")
+            # untouched by the extra round keep their label).
+            # DEDUPE the map to one row per vertex first: the forest
+            # emits a vertex once per partition it appears in (that
+            # duplication is what lets _root_graph discover bridges),
+            # so joining the raw forest multiplies labels rows per
+            # round — exponential growth over many residual rounds
+            # (measured: 244M rows by round 15 on the hostile-layout
+            # fixture). Taking the MIN root per vertex is exact: the
+            # dropped alternative roots are still bridged to the kept
+            # one through _root_graph's edges (which read the full
+            # duplicated forest), so every label still reaches its
+            # component minimum through later maps or the driver
+            # union-find; the join becomes 1:1 and labels stay
+            # |forest|-sized for any number of rounds.
+            m = f2.groupBy("src").agg(F.min("dst").alias("_c")).select(
+                F.col("src").alias("_r"), F.col("_c")
             )
             labels = (
                 labels.join(m, labels.dst == m._r, "left")

@@ -134,6 +134,94 @@ def train_merges(
     )
 
 
+def _select_disjoint(
+    ranked: list[tuple[str, str, int]], m: int
+) -> list[tuple[str, str, int]]:
+    """Greedy driver-side selection of up to ``m`` mutually
+    symbol-DISJOINT pairs from a ranked candidate list ((lhs, rhs,
+    cnt), best first). Two pairs conflict iff they share any symbol:
+    disjoint pairs have the invariant that applying one merge cannot
+    create, destroy, or move an occurrence of the other (a merge only
+    touches adjacencies involving its own two symbols), so their
+    pre-batch counts are exactly the counts a sequential trainer would
+    have seen when its turn came."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for lhs, rhs, cnt in ranked:
+        if len(out) >= m:
+            break
+        if lhs in used or rhs in used:
+            continue
+        out.append((lhs, rhs, cnt))
+        used.update((lhs, rhs))
+    return out
+
+
+def train_merges_batched(
+    spark: SparkSession,
+    docs: DataFrame,
+    num_merges: int,
+    batch_size: int = 8,
+    text_col: str = "text",
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """Batched BPE training: per round, merge the top-``batch_size``
+    mutually symbol-disjoint pairs instead of one — the standard
+    batched-BPE scale fix (VERDICT r07 Next #3). A real 30k-merge
+    tokenizer costs ~30k/``batch_size`` Spark jobs instead of 30k;
+    :func:`train_merges` stays as the 1-at-a-time oracle-parity twin
+    (``batch_size=1`` reproduces it exactly, property-tested).
+
+    Why the batch is safe: pairs sharing no symbol are independent —
+    a greedy ``replace`` of ``|l||r|`` only rewrites adjacencies whose
+    endpoints are ``l`` or ``r``, so a disjoint pair's occurrences (and
+    therefore its count) are invariant under the other merges in the
+    batch. When the sequential trainer's next ``batch_size`` picks
+    happen to be pairwise disjoint and none involves a symbol minted
+    earlier in the same window, the batched table is IDENTICAL
+    (tested); when they conflict, the greedy selector skips the
+    conflicting candidate to the next round, trading exact sequential
+    order for a bounded round count — the documented batched-BPE
+    approximation.
+
+    Control reads stay bounded: each round collects the top
+    ``candidate_factor * batch_size`` ranked pairs (a few hundred rows)
+    and selects driver-side; at least the global top pair is always
+    selected, so every round makes progress and the loop terminates in
+    ≤ ``num_merges`` rounds.
+    """
+    vocab = word_frequencies(docs, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        while len(merges) < num_merges:
+            want = min(batch_size, num_merges - len(merges))
+            ranked = [
+                (r["lhs"], r["rhs"], r["pair_cnt"])
+                for r in pair_counts(vocab)
+                .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(max(candidate_factor, 1) * batch_size)
+                .collect()
+            ]
+            if not ranked:  # vocabulary exhausted
+                break
+            batch = _select_disjoint(ranked, want)
+            nxt = vocab
+            for lhs, rhs, cnt in batch:
+                merges.append((len(merges) + 1, lhs, rhs, cnt))
+                nxt = apply_merge(nxt, lhs, rhs)
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()  # materialize before freeing the parent block
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
+    )
+
+
 def encode_tokens(
     docs: DataFrame,
     merges: list[tuple[str, str]],

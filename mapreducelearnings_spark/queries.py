@@ -2653,20 +2653,15 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters_incremental",
-    _DEDUP_CLUSTERS_ORACLE,
-    doc="Incremental cluster MAINTENANCE (graph.py "
-    "incremental_components): the corpus is clustered once on the "
-    "'old' 90% of documents, then the newest decile's LSH pairs "
-    "arrive as a delta batch and are merged into the existing labels "
-    "by clustering only the delta-sized COMPONENT graph and "
-    "broadcast-remapping touched labels — the base is never "
-    "re-clustered (composes with incremental_merge_counts' "
-    "partial-state story). The oracle IS the from-scratch clustering "
-    "on base+delta, so equality proves the maintenance path exact.",
-)
-def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_demo_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base_labels, delta_pairs) for the incremental-maintenance demo:
+    the corpus's LSH candidate pairs split at a FIXED-SIZE arrival
+    boundary (the newest 50 doc ids), with the 'old' side clustered.
+    Shared by the registry query below and tools/scale_smoke.py, which
+    times :func:`incremental_components` ALONE over these inputs — the
+    maintenance step must cost ∝|delta| regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     # the shingle->minhash->band pipeline feeds FOUR downstream jobs
     # (base CC, contracted-delta CC, remap, delta_only); a LAZY
@@ -2681,12 +2676,37 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .localCheckpoint(eager=False)
     )
-    # deterministic arrival split: the newest ~decile of doc ids is the
-    # delta batch (1-row control read for the threshold)
-    cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.9)
+    # deterministic arrival split: the newest 50 doc ids are the delta
+    # batch (1-row control read for the threshold). FIXED batch size —
+    # a streaming maintenance step ingests arrival-sized batches, so
+    # its cost must track |delta|, not corpus size; the 3x/10x scale
+    # smoke asserts exactly that (~flat step time as the corpus grows;
+    # VERDICT r07 Next #5)
+    cut = int(docs.agg(F.max("doc_id")).first()[0]) - 49
     base = pairs.where((F.col("src") < cut) & (F.col("dst") < cut))
     delta = pairs.where((F.col("src") >= cut) | (F.col("dst") >= cut))
     base_labels = G.connected_components(spark, base)
+    return base_labels, delta
+
+
+@register(
+    "dedup_clusters_incremental",
+    _DEDUP_CLUSTERS_ORACLE,
+    doc="Incremental cluster MAINTENANCE (graph.py "
+    "incremental_components): the corpus is clustered once on the "
+    "'old' documents, then the newest FIXED-SIZE arrival batch's LSH "
+    "pairs (the last 50 doc ids — fixed, not a decile, so the "
+    "scale-smoke ratio measures the algorithm's ∝|delta| cost rather "
+    "than the demo's delta growth; VERDICT r07 Next #5) are merged "
+    "into the existing labels by clustering only the delta-sized "
+    "COMPONENT graph and broadcast-remapping touched labels — the "
+    "base is never re-clustered (composes with "
+    "incremental_merge_counts' partial-state story). The oracle IS "
+    "the from-scratch clustering on base+delta, so equality proves "
+    "the maintenance path exact.",
+)
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base_labels, delta = incremental_demo_inputs(spark, sf_dir)
     cc = G.incremental_components(spark, base_labels, delta)
     return cc.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")

@@ -1210,6 +1210,85 @@ def test_bpe_encode_round_trips_training_merges(spark):
         assert "".join(r["tokens"]) == r["word"]  # lossless
 
 
+def test_bpe_batched_m1_equals_sequential(spark):
+    """batch_size=1 is the oracle-parity twin: the batched trainer must
+    reproduce the sequential merge table EXACTLY on any corpus — same
+    pairs, same order, same counts (VERDICT r07 Next #3)."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa aaa low low low lower"),
+            (2, "low lowest aaaa the the them"),
+            (3, "newest widest the them band banded"),
+        ],
+        "doc_id: long, text: string",
+    )
+    seq = [tuple(r) for r in BP.train_merges(spark, docs, rounds=6).collect()]
+    bat = [
+        tuple(r)
+        for r in BP.train_merges_batched(
+            spark, docs, num_merges=6, batch_size=1
+        ).collect()
+    ]
+    assert bat == seq
+
+
+def test_bpe_batched_disjoint_equals_sequential(spark):
+    """The batched-safety property: when the sequential trainer's next
+    M picks are pairwise symbol-disjoint (and none uses a symbol minted
+    inside the window), batched(M) in ONE round returns the identical
+    merge table — disjoint merges can't perturb each other's counts."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    # three two-symbol words over disjoint alphabets with strictly
+    # ordered frequencies: sequential rounds pick (a,b), (c,d), (e,f);
+    # each merge collapses its word to one symbol, creating no new pair
+    docs = spark.createDataFrame(
+        [(1, " ".join(["ab"] * 9 + ["cd"] * 7 + ["ef"] * 5))],
+        "doc_id: long, text: string",
+    )
+    seq = [tuple(r) for r in BP.train_merges(spark, docs, rounds=3).collect()]
+    bat = [
+        tuple(r)
+        for r in BP.train_merges_batched(
+            spark, docs, num_merges=3, batch_size=3
+        ).collect()
+    ]
+    assert bat == seq == [
+        (1, "a", "b", 9),
+        (2, "c", "d", 7),
+        (3, "e", "f", 5),
+    ]
+
+
+def test_bpe_batched_conflict_defers_to_next_round(spark):
+    """Conflicting candidates are skipped to a later round, never
+    batch-applied: with words 'ab'×9 and 'bc'×7, (a,b) and (b,c) share
+    symbol b, so round 1 merges only (a,b) (plus the next disjoint
+    candidate if any) and (b,c) is recounted afterwards — the selector
+    itself is unit-checked driver-side."""
+    from mapreducelearnings_spark.pipeline import bpe as BP
+
+    assert BP._select_disjoint(
+        [("a", "b", 9), ("b", "c", 7), ("c", "d", 5), ("x", "y", 4)], 3
+    ) == [("a", "b", 9), ("c", "d", 5), ("x", "y", 4)]
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["abc"] * 3 + ["ab"] * 6 + ["bc"] * 4))],
+        "doc_id: long, text: string",
+    )
+    # pair counts round 1: (a,b)=9, (b,c)=7 — conflicting on b.
+    out = BP.train_merges_batched(
+        spark, docs, num_merges=2, batch_size=2
+    ).collect()
+    assert (out[0]["lhs"], out[0]["rhs"], out[0]["pair_cnt"]) == ("a", "b", 9)
+    # (b,c) was deferred and RECOUNTED after (a,b) applied: the three
+    # 'abc' occurrences became (ab)(c), so only the four standalone
+    # 'bc' words still carry the (b,c) adjacency
+    assert (out[1]["lhs"], out[1]["rhs"], out[1]["pair_cnt"]) == ("b", "c", 4)
+
+
 def test_epoch_shuffle_deterministic_and_epoch_varying(spark, sf_dir):
     """Same epoch → identical permutation across runs; different epochs
     → different permutations; keys are unique (a total order)."""

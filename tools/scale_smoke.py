@@ -55,6 +55,9 @@ HEAVY = [
     "ann_ivf_pq_topk",
     "semdedup_keep",
     "incident_event_counts",
+    # fixed-size arrival batch: time must stay ~flat as the corpus
+    # grows (the maintenance cost is ∝|delta|; VERDICT r07 Next #5)
+    "dedup_clusters_incremental",
 ]
 
 
@@ -172,6 +175,31 @@ def main() -> None:
         results[name] = row
         print(f"{name:32s} base={row['base']:7.2f}s scaled={row['scaled']:7.2f}s "
               f"ratio={row['ratio']:.2f} (data {mult}x)", flush=True)
+    # The maintenance-step row: dedup_clusters_incremental's whole-query
+    # time grows with the corpus because the DEMO rebuilds base labels
+    # from scratch (one-shot harness); the algorithm's claim is that the
+    # STEP — merging a fixed-size arrival batch into existing labels —
+    # costs ∝|delta|. Materialize the inputs untimed, then time
+    # incremental_components alone at both scales: ~flat is the evidence
+    # (VERDICT r07 Next #5).
+    from mapreducelearnings_spark import queries as Q
+    from mapreducelearnings_spark.operators import graph as G
+
+    row = {}
+    for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
+        spark.catalog.clearCache()
+        base_labels, delta = Q.incremental_demo_inputs(spark, sf_dir)
+        delta = delta.localCheckpoint(eager=True)  # pairs built untimed
+        t0 = time.perf_counter()
+        n = G.incremental_components(spark, base_labels, delta).count()
+        row[label] = round(time.perf_counter() - t0, 3)
+        row[f"{label}_rows"] = n
+    row["ratio"] = round(row["scaled"] / max(row["base"], 1e-9), 2)
+    results["incremental_maintenance_step"] = row
+    print(f"{'incremental_maintenance_step':32s} base={row['base']:7.2f}s "
+          f"scaled={row['scaled']:7.2f}s ratio={row['ratio']:.2f} "
+          f"(data {mult}x, |delta| fixed)", flush=True)
+
     line = json.dumps({"mult": mult, "queries": results})
     with open(os.path.join(out_root, "scale_smoke.json"), "w") as f:
         f.write(line + "\n")
