@@ -35,7 +35,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 # Only lowercase-alpha words participate: symbols then never contain
 # the '|' delimiter, digits, or whitespace, so the wrapped form is
@@ -100,35 +99,34 @@ def train_merges(
     """Run ``rounds`` BPE merge rounds; returns (merge_round, lhs, rhs,
     pair_cnt) — the ordered merge table a tokenizer ships.
 
-    Loop discipline: the vocab is persisted per round and the previous
-    round's block freed, so round N's pair count never recomputes
-    rounds 1..N-1 (lineage is one ``replace`` expression per round on
-    top of the cached vocab; depth is bounded by ``rounds``).
+    Loop discipline: the vocab is EAGERLY localCheckpoint-ed per round,
+    which truncates lineage to a one-node scan — round N's pair count
+    never recomputes rounds 1..N-1 AND the logical plan stays constant-
+    size. persist() alone is NOT enough here: it short-circuits
+    execution but keeps the full analyzed lineage, and the per-round
+    planning/cache-matching cost over the growing replace-chain plan
+    explodes superlinearly (measured at sf0.01: 0.5 s/round through
+    round 12, 47 s at round 15, 103 s at round 16; the checkpointed
+    loop holds ~0.25 s/round flat through round 24 with identical merge
+    picks — see PERFORMANCE.md). A 30k-merge trainer never gets past
+    round ~20 without this.
     """
-    vocab = word_frequencies(docs, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    vocab = word_frequencies(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rnd in range(1, rounds + 1):
-            best = (
-                pair_counts(vocab)
-                .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
-                .limit(1)
-                .collect()
-            )
-            if not best:  # vocabulary exhausted (all words one symbol)
-                break
-            row = best[0]
-            merges.append((rnd, row["lhs"], row["rhs"], row["pair_cnt"]))
-            nxt = apply_merge(vocab, row["lhs"], row["rhs"]).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            nxt.count()  # materialize before freeing the parent block
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    for rnd in range(1, rounds + 1):
+        best = (
+            pair_counts(vocab)
+            .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary exhausted (all words one symbol)
+            break
+        row = best[0]
+        merges.append((rnd, row["lhs"], row["rhs"], row["pair_cnt"]))
+        vocab = apply_merge(vocab, row["lhs"], row["rhs"]).localCheckpoint(
+            eager=True
+        )
     return spark.createDataFrame(
         merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
     )
@@ -190,33 +188,27 @@ def train_merges_batched(
     selected, so every round makes progress and the loop terminates in
     ≤ ``num_merges`` rounds.
     """
-    vocab = word_frequencies(docs, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    vocab = word_frequencies(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        while len(merges) < num_merges:
-            want = min(batch_size, num_merges - len(merges))
-            ranked = [
-                (r["lhs"], r["rhs"], r["pair_cnt"])
-                for r in pair_counts(vocab)
-                .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
-                .limit(max(candidate_factor, 1) * batch_size)
-                .collect()
-            ]
-            if not ranked:  # vocabulary exhausted
-                break
-            batch = _select_disjoint(ranked, want)
-            nxt = vocab
-            for lhs, rhs, cnt in batch:
-                merges.append((len(merges) + 1, lhs, rhs, cnt))
-                nxt = apply_merge(nxt, lhs, rhs)
-            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()  # materialize before freeing the parent block
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    while len(merges) < num_merges:
+        want = min(batch_size, num_merges - len(merges))
+        ranked = [
+            (r["lhs"], r["rhs"], r["pair_cnt"])
+            for r in pair_counts(vocab)
+            .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+            .limit(max(candidate_factor, 1) * batch_size)
+            .collect()
+        ]
+        if not ranked:  # vocabulary exhausted
+            break
+        batch = _select_disjoint(ranked, want)
+        nxt = vocab
+        for lhs, rhs, cnt in batch:
+            merges.append((len(merges) + 1, lhs, rhs, cnt))
+            nxt = apply_merge(nxt, lhs, rhs)
+        # eager localCheckpoint per ROUND (not per merge): lineage and
+        # plan depth stay constant-size — see train_merges' docstring
+        vocab = nxt.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
     )
