@@ -81,6 +81,10 @@ HEADLINE = [
     "epoch_shuffle",
     "hash_split",
     "set_ops",
+    # round-8 late adds: pairs-pattern co-occurrence + quality-aware
+    # dedup survivors
+    "cooccurrence_pmi",
+    "dedup_keep_best",
     # custom operators + format coverage
     "asof_latest_order",
     "events_props_json",
@@ -109,7 +113,6 @@ HEADLINE = [
     "late_exclusive_suppliers",
     "important_parts",
     "doc_chunks",
-    "late_exclusive_suppliers_sql",
     "best_revenue_supplier",
     "stream_enriched_totals",
     "events_props_variant",
@@ -178,7 +181,6 @@ HEADLINE = [
 # compares against BASELINE. Policy note in COVERAGE.md.
 SURFACE_TWINS = [
     "sentence_split_udtf",
-    "customer_running_totals_pandas",
 ]
 
 # ---------------------------------------------------------------------------

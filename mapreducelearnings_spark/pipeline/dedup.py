@@ -235,3 +235,51 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(0)
         ).alias("simhash")
     )
+
+
+def keep_best_survivors(
+    labels: DataFrame, stats: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """Quality-aware dedup KEEP LIST: given near-dup cluster labels
+    (doc_id, cluster_id) and per-doc quality (doc_id, quality_score),
+    return every surviving document — for each cluster the member with
+    the HIGHEST quality_score (ties: lowest doc_id), plus every
+    unclustered document as its own singleton.  This is the policy a
+    curation pipeline actually wants from dedup: keep-min-id discards
+    the best-written copy whenever it arrived late; keep-best keeps it.
+
+    Output: (doc_id, cluster_id, n_members, quality_score), where
+    singletons carry cluster_id = their own doc_id and n_members = 1 —
+    the same label convention connected_components uses for isolated
+    vertices.
+
+    Shape at 100 TB: one shuffle on cluster_id for the argmax
+    (max_by over a (quality, -id) struct — partial+final, no
+    per-cluster sort), one anti-join on doc_id for the singleton side
+    (clusters are a small fraction of the corpus, so the anti-join's
+    build side is the short label list — AQE broadcasts it), and the
+    quality join rides the same doc_id partitioning.  No windows, no
+    driver reads.
+    """
+    members = labels.join(stats, "doc_id")
+    reps = members.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality_score"), -F.col("doc_id"))
+        ).alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("quality_score").alias("quality_score"),
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .join(stats, "doc_id")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("n_members"),
+            "quality_score",
+        )
+    )
+    return reps.select(
+        "doc_id", "cluster_id", "n_members", "quality_score"
+    ).unionByName(singles)

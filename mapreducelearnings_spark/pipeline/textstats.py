@@ -144,3 +144,136 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", X.rolling_fingerprint(X.tokens(text_col)).alias("fingerprint")
     )
+
+
+def cooccurrence_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Windowed word co-occurrence with exact PMI-lift — the canonical
+    MapReduce "pairs" pattern (Lin & Dyer ch.3; the reference's
+    follower-count generalized from unigrams to skip-gram pairs):
+    for every token x at position i, pair it with each DISTINCT-order
+    neighbor y in positions (i+1 .. i+window] of the same document,
+    normalize to an unordered pair (least, greatest), drop self-pairs,
+    and count corpus-wide.  lift = p(x,y) / (p(x)·p(y)) expressed as
+    ((((c_xy·Nw)·Nw)/Np)/c_x)/c_y in EXACTLY that IEEE association
+    order, so DuckDB reproduces it bit-for-bit (every operand is an
+    exact int64; each double op is correctly rounded — no libm, no
+    order-dependent float sum).  PMI itself is log(lift): monotone, so
+    ranking/thresholding on lift is ranking on PMI without putting a
+    cross-engine log in the oracle.
+
+    Shape at 100 TB: the pair generation is a map-side expand (one
+    posexplode + one bounded slice-explode, ~window rows per token —
+    no shuffle), followed by ONE partial+final aggregate on the pair
+    key.  The two unigram joins key on single words; vocabulary is
+    sublinear in corpus size and AQE picks broadcast when it fits —
+    no forced broadcast here because a 100 TB crawl's junk vocabulary
+    can exceed driver memory.  The two scalar totals ride in as 1-row
+    broadcast cross-joins.  Skew note: stopword pairs are the heavy
+    keys, but they arrive PRE-AGGREGATED map-side (partial
+    HashAggregate), so the shuffle carries one row per (pair,
+    partition) — the pairs pattern's whole point vs raw emission.
+    """
+    toks = docs.select(X.tokens(text_col).alias("ts"))
+    pos = toks.select(F.posexplode("ts").alias("i", "x"), "ts")
+    # posexplode's i is 0-based; F.slice is 1-based => next token sits
+    # at slice start i+2. slice clamps at the array end like DuckDB's
+    # list_slice.
+    pairs = pos.select(
+        "x",
+        F.explode(F.slice("ts", F.col("i") + F.lit(2), window)).alias("y"),
+    ).where(F.col("x") != F.col("y"))
+    und = pairs.select(
+        F.least("x", "y").alias("w1"), F.greatest("x", "y").alias("w2")
+    )
+    cxy = und.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    uni = toks.select(F.explode("ts").alias("w"))
+    cw = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = uni.agg(F.count(F.lit(1)).cast("long").alias("nw")).crossJoin(
+        F.broadcast(und.agg(F.count(F.lit(1)).cast("long").alias("np")))
+    )
+    a = cw.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    b = cw.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    out = (
+        cxy.where(F.col("c_xy") >= min_count)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("nw")
+        * F.col("nw")
+        / F.col("np")
+        / F.col("c_x")
+        / F.col("c_y")
+    )
+    return out.select("w1", "w2", "c_xy", "c_x", "c_y", lift.alias("lift"))
+
+
+def cooccurrence_pairs_stripes(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """The STRIPES physical strategy for the same co-occurrence
+    contract as :func:`cooccurrence_pairs` (Lin & Dyer ch.3's other
+    half): instead of shuffling one row per (pair, partition), each
+    anchor word aggregates a per-word map {neighbor -> count}
+    (map_from_entries over a grouped collect), and maps merge in the
+    reduce. On Spark this buys nothing — the pairs path's partial
+    HashAggregate already does map-side combining, which is the whole
+    problem stripes existed to solve on Hadoop MR, and the stripes
+    aggregate is an ObjectHashAggregate carrying fat map values with a
+    per-key memory bound of O(vocabulary). Kept as the documented
+    strategy twin (same role as the 4 xByKey follower-count twins):
+    pytest pins output equality with the pairs path, and the docstring
+    pins the recommendation — use pairs on Spark.
+    """
+    toks = docs.select(X.tokens(text_col).alias("ts"))
+    pos = toks.select(F.posexplode("ts").alias("i", "x"), "ts")
+    pairs = pos.select(
+        "x",
+        F.explode(F.slice("ts", F.col("i") + F.lit(2), window)).alias("y"),
+    ).where(F.col("x") != F.col("y"))
+    und = pairs.select(
+        F.least("x", "y").alias("w1"), F.greatest("x", "y").alias("w2")
+    )
+    # stripe = per-w1 neighbor map; counts live in the map values
+    stripes = (
+        und.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("w1")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("w2", "c")))
+            ).alias("stripe")
+        )
+    )
+    flat = stripes.select(
+        "w1", F.explode("stripe").alias("w2", "c_xy")
+    ).where(F.col("c_xy") >= min_count)
+    uni = toks.select(F.explode("ts").alias("w"))
+    cw = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = uni.agg(F.count(F.lit(1)).cast("long").alias("nw")).crossJoin(
+        F.broadcast(und.agg(F.count(F.lit(1)).cast("long").alias("np")))
+    )
+    a = cw.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    b = cw.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    out = flat.join(a, "w1").join(b, "w2").crossJoin(F.broadcast(totals))
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("nw")
+        * F.col("nw")
+        / F.col("np")
+        / F.col("c_x")
+        / F.col("c_y")
+    )
+    return out.select("w1", "w2", "c_xy", "c_x", "c_y", lift.alias("lift"))

@@ -1336,3 +1336,100 @@ def test_hash_split_stable_and_proportional(spark, sf_dir):
 
     with _pt.raises(ValueError):
         SA.hash_split(docs, {"a": 0.9, "b": 0.3})
+
+
+def test_cooccurrence_pairs_match_python_reference(spark):
+    """Windowed pair semantics pinned against a brute-force Python
+    twin: window clamps at the doc end, self-pairs are dropped,
+    unordered normalization merges (x,y)/(y,x), counts are corpus-wide
+    and lift reproduces the exact rational p(x,y)/(p(x)p(y))."""
+    texts = [
+        "big data big data big",
+        "data big systems",
+        "systems of systems",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w, min_c = 2, 1
+    got = {
+        (r["w1"], r["w2"]): (r["c_xy"], r["c_x"], r["c_y"], r["lift"])
+        for r in TS.cooccurrence_pairs(docs, window=w, min_count=min_c).collect()
+    }
+
+    import re
+    from collections import Counter
+
+    pair_c: Counter = Counter()
+    uni_c: Counter = Counter()
+    for t in texts:
+        ts = re.findall("[a-z]+", t.lower())
+        uni_c.update(ts)
+        for i, x in enumerate(ts):
+            for y in ts[i + 1 : i + 1 + w]:
+                if x != y:
+                    pair_c[(min(x, y), max(x, y))] += 1
+    nw, np_ = sum(uni_c.values()), sum(pair_c.values())
+    want = {
+        p: (
+            c,
+            uni_c[p[0]],
+            uni_c[p[1]],
+            ((((float(c) * nw) * nw) / np_) / uni_c[p[0]]) / uni_c[p[1]],
+        )
+        for p, c in pair_c.items()
+        if c >= min_c
+    }
+    assert got == want and ("big", "data") in got
+    # the adjacent repeat "systems of systems" must also pair
+    # (systems, systems)? no — self-pairs are excluded by contract:
+    assert ("systems", "systems") not in got
+
+
+def test_keep_best_survivors_policy(spark):
+    """Keeper = max quality (tie: min doc_id) per cluster; unclustered
+    docs survive as singletons with their own id as cluster label."""
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    stats = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (5, 0.4), (6, 0.4), (9, 0.7)],
+        "doc_id long, quality_score double",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 9)], "doc_id long"
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["n_members"], r["quality_score"])
+        for r in DD.keep_best_survivors(labels, stats, docs).collect()
+    }
+    # cluster 1: quality tie 0.9/0.9 between 2 and 3 -> keep 2
+    # cluster 5: tie 0.4/0.4 between 5 and 6 -> keep 5
+    # doc 9: unclustered singleton
+    assert rows == {
+        2: (1, 3, 0.9),
+        5: (5, 2, 0.4),
+        9: (9, 1, 0.7),
+    }
+
+
+def test_cooccurrence_stripes_twin_matches_pairs(spark, sf_dir):
+    """Pairs vs stripes (Lin & Dyer ch.3): the two physical strategies
+    must produce identical co-occurrence tables on the real fixture.
+    The stripes path exists as the documented strategy twin; on Spark
+    the pairs path's partial aggregate already map-side-combines, so
+    pairs is the production plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        tuple(r)
+        for r in TS.cooccurrence_pairs(docs, window=3, min_count=2).collect()
+    }
+    b = {
+        tuple(r)
+        for r in TS.cooccurrence_pairs_stripes(
+            docs, window=3, min_count=2
+        ).collect()
+    }
+    assert a == b and len(a) > 0

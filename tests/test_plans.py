@@ -244,7 +244,7 @@ def test_q21_sql_twin_matches_dataframe_twin(spark, sf_dir):
     }
     b = {
         tuple(r)
-        for r in REGISTRY["late_exclusive_suppliers_sql"]
+        for r in RETIRED["late_exclusive_suppliers_sql"]
         .spark(spark, sf_dir)
         .collect()
     }

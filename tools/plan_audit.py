@@ -48,6 +48,7 @@ BNLJ_BOUNDED_ALLOWLIST = frozenset(
         "source_mixture_weights",  # 1-row normalization total
         "funnel_conversion",       # 1-row step-count constants
         "semdedup_keep",           # 1-row corpus stats for cell sizing
+        "cooccurrence_pmi",        # 1-row (Nw, Np) totals for the lift
         # k-row (<=8) query/probe sides broadcast into the corpus scan
         "similarity_topk", "similarity_topk_q8",
         "ann_ivf_topk", "ann_ivf_trained_topk", "ann_hamming_topk",
