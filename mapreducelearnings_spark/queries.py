@@ -2960,10 +2960,12 @@ from .operators.asof import asof_join  # noqa: E402
                 FROM events),
     m AS (SELECT ev.event_id, ev.user_id,
           CAST(FLOOR(epoch(ev.asof_ts)) AS BIGINT) AS asof_epoch,
-          (SELECT MAX({'d': o.o_orderdate, 'k': o.o_orderkey, 'p': o.o_totalprice})
-           FROM orders o
-           WHERE o.o_custkey = ev.user_id AND o.o_orderdate <= ev.asof_ts) AS mo
-          FROM ev)
+          MAX(CASE WHEN o.o_orderkey IS NULL THEN NULL
+                   ELSE {'d': o.o_orderdate, 'k': o.o_orderkey,
+                         'p': o.o_totalprice} END) AS mo
+          FROM ev LEFT JOIN orders o
+            ON o.o_custkey = ev.user_id AND o.o_orderdate <= ev.asof_ts
+          GROUP BY ev.event_id, ev.user_id, ev.asof_ts)
     SELECT event_id, user_id, asof_epoch,
            (mo).k AS o_orderkey,
            ROUND((mo).p, 2) AS o_totalprice
@@ -2973,8 +2975,14 @@ from .operators.asof import asof_join  # noqa: E402
     "matched to the customer's LATEST order at or before a synthetic "
     "as-of timestamp spread across the order-date range. Engine uses "
     "the one-shuffle union+window forward-fill (operators/asof.py); the "
-    "oracle independently recomputes each match as a correlated "
-    "latest-row subquery with the same (date, orderkey) tie-break.",
+    "oracle independently recomputes each match as a latest-row argmax "
+    "(equi-join on the customer + per-event MAX over a (date, orderkey, "
+    "price) struct — same tie-break). The join form is deliberate: the "
+    "equivalent correlated scalar subquery defeated DuckDB's "
+    "decorrelation at the 3x sweep dir (449 s / +64 GB RSS — the r8 "
+    "sweep OOM); the explicit equi-join keys the hash table on "
+    "o_custkey and is bounded by true (event, same-customer-order) "
+    "pairs.",
 )
 def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(

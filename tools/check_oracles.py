@@ -40,6 +40,16 @@ def normalize(rows, colnames):
     return out
 
 
+def _rss_gb() -> float:
+    """This process's resident set in GiB (DuckDB is in-process, so a
+    runaway oracle shows up here; the Spark JVM is a child and does
+    not). Printed per query so an OOM in a long sweep is attributable
+    to the query that grew it, not just the one that died."""
+    with open("/proc/self/statm") as f:
+        pages = int(f.read().split()[1])
+    return pages * 4096 / (1 << 30)
+
+
 def main() -> int:
     import duckdb
 
@@ -52,6 +62,14 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # Defense in depth for scaled-dir sweeps: DuckDB's default memory
+    # limit is ~80% of RAM, which, sharing the host with the Spark
+    # driver JVM, let one pathological oracle plan OOM the whole sweep
+    # at the 3x dir (r8: the correlated asof subquery hit +64 GB before
+    # it was rewritten as a join). Cap the oracle engine and give it a
+    # spill directory so a heavy plan gets slow, not fatal.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
@@ -112,6 +130,7 @@ def main() -> int:
             )
             continue
         ns, no = normalize(srows, scols), normalize(orows, ocols)
+        del srows, orows
         if ns != no:
             bad = next(i for i, (a, b) in enumerate(zip(ns, no)) if a != b)
             failures.append((name, f"values differ at sorted row {bad}"))
@@ -119,7 +138,7 @@ def main() -> int:
             print(f"      spark : {ns[bad]}")
             print(f"      oracle: {no[bad]}")
             continue
-        print(f"ok    {name}  rows={len(srows)}  ({dt:.1f}s)")
+        print(f"ok    {name}  rows={len(ns)}  ({dt:.1f}s)  rss={_rss_gb():.1f}g")
 
     print(
         f"\n{checked - len(failures) - len(skipped)} ok, "

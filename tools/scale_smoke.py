@@ -58,6 +58,9 @@ HEAVY = [
     # fixed-size arrival batch: time must stay ~flat as the corpus
     # grows (the maintenance cost is ∝|delta|; VERDICT r07 Next #5)
     "dedup_clusters_incremental",
+    # round-8 late adds: pair-expand aggregate + LSH/CC + quality argmax
+    "cooccurrence_pmi",
+    "dedup_keep_best",
 ]
 
 
