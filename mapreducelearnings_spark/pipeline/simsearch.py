@@ -864,7 +864,7 @@ def pq_adc_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = PQ_RERANK_MULT,
+    rerank_mult: int | None = None,
     trained_rounds: int = 0,
     train_sample_mod: int | None = None,
 ) -> DataFrame:
@@ -887,7 +887,18 @@ def pq_adc_topk(
     ADC sums are rounded 6 dp before ranking (the engine's standard
     accumulation-noise kill), so the approximate result is fully
     oracle-checked. ``trained_rounds`` > 0 swaps in the Lloyd-trained
-    codebooks (:func:`pq_train`) with identical plumbing downstream."""
+    codebooks (:func:`pq_train`) with identical plumbing downstream.
+
+    ``rerank_mult=None`` auto-scales the rerank budget with corpus size
+    via :func:`hamming_auto_mult` (the shared compressed-scan budget
+    rule): the round-8 10× recall sweep measured the FIXED R=80 budget
+    collapsing 0.825 → 0.40 recall@5 at a 20 000-vector corpus while
+    the auto-scaled Hamming path held — an absolute budget decays for
+    ADC exactly as it did for sign bits. The registry queries pin the
+    fixed mult explicitly for oracle-text stability (migration to the
+    auto scalar-subquery form is the r9 window's slot-1 change)."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(embeddings.count())
     emb = _emb_normed(embeddings)
     cb = (
         pq_train(embeddings, trained_rounds, sample_mod=train_sample_mod)
@@ -951,7 +962,7 @@ def ivf_hamming_topk(
     k: int = 5,
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
-    rerank_mult: int = HAMMING_RERANK_MULT,
+    rerank_mult: int | None = None,
 ) -> DataFrame:
     """IVF × compressed-scan COMPOSITION — the claim the quantized scans
     make ("composes with IVF cell pruning") made real: candidates are
@@ -967,7 +978,15 @@ def ivf_hamming_topk(
     pruned candidate set — recall is bounded by the IVF probe recall
     and typically HIGHER than flat Hamming at equal R because the
     rerank budget concentrates on plausible cells — measured at sf0.1:
-    0.75 composed vs 0.575 flat at R = 80."""
+    0.75 composed vs 0.575 flat at R = 80.
+
+    ``rerank_mult=None`` auto-scales R with corpus size (shared
+    :func:`hamming_auto_mult` rule — the fixed R=80 composition
+    measured 0.75 -> 0.35 recall@5 at the 10x corpus); registry query
+    pins the fixed mult for oracle-text stability until the r9
+    oracle migration."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(embeddings.count())
     emb = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
     lo, hi = _sign_sig_cols(F.col("ne"))
     sig = emb.select(
@@ -1170,7 +1189,7 @@ def ivf_pq_topk(
     k: int = 5,
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
-    rerank_mult: int = PQ_RERANK_MULT,
+    rerank_mult: int | None = None,
 ) -> DataFrame:
     """IVF × PQ-ADC COMPOSITION — the FAISS ``IVFPQ`` read path, the
     standard billion-scale ANN index shape: candidates are pruned to
@@ -1192,7 +1211,14 @@ def ivf_pq_topk(
     (query, vec) partial-agg sum, and exact math touches R rows per
     query. ADC sums are rounded 6 dp before ranking (the engine's
     accumulation-noise kill), so the composed approximate result is
-    fully oracle-checked like every other ANN entry."""
+    fully oracle-checked like every other ANN entry.
+
+    ``rerank_mult=None`` auto-scales R with corpus size (shared
+    :func:`hamming_auto_mult` rule — fixed R=80 measured 0.95 -> 0.40
+    recall@5 at the 10x corpus); registry query pins the fixed mult
+    until the r9 oracle migration."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(embeddings.count())
     embn = _emb_normed(embeddings)
     assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
     cb = pq_codebooks(embeddings)
@@ -1317,7 +1343,7 @@ def ann_index_topk(
     k: int = 5,
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
-    rerank_mult: int = PQ_RERANK_MULT,
+    rerank_mult: int | None = None,
 ) -> DataFrame:
     """Query the on-disk index: per-query probe cells come from the
     same broadcast-centroid ranking as :func:`ivf_topk`, their UNION
@@ -1327,7 +1353,13 @@ def ann_index_topk(
     directories". ADC pre-rank runs over the stored code arrays against
     broadcast codebooks, exact rerank over the stored unit vectors —
     bit-identical results to the in-memory :func:`ivf_pq_topk` (tested),
-    while reading n_probes/n_cells of the dataset."""
+    while reading n_probes/n_cells of the dataset.
+
+    ``rerank_mult=None`` auto-scales R with the stored corpus size
+    (same rule as the in-memory paths, so parity with
+    :func:`ivf_pq_topk` holds under defaults too)."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(embeddings.count())
     embn = _emb_normed(embeddings)
     cent = embn.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")

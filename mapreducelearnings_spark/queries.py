@@ -1959,7 +1959,10 @@ def _ivf_hamming_oracle(
     "fraction of the bytes read.",
 )
 def q_ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SS.ivf_hamming_topk(load_table(spark, sf_dir, "embeddings"))
+    return SS.ivf_hamming_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        rerank_mult=SS.HAMMING_RERANK_MULT,
+    )
 
 
 def _pq_oracle(
@@ -2032,7 +2035,10 @@ def _pq_oracle(
     "(0.5 b/dim) / sign-Hamming (1 b/dim).",
 )
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SS.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
+    return SS.pq_adc_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        rerank_mult=SS.PQ_RERANK_MULT,
+    )
 
 
 def _pq_trained_oracle(
@@ -2147,6 +2153,7 @@ _PQ_TRAIN_SAMPLE_MOD = 4
 def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.pq_adc_topk(
         load_table(spark, sf_dir, "embeddings"),
+        rerank_mult=SS.PQ_RERANK_MULT,
         trained_rounds=SS.PQ_LLOYD_ROUNDS,
         train_sample_mod=_PQ_TRAIN_SAMPLE_MOD,
     )
@@ -4495,7 +4502,10 @@ def _ivf_pq_oracle(
     "Fully oracle-checked like the rest of the ANN ladder.",
 )
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SS.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
+    return SS.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        rerank_mult=SS.PQ_RERANK_MULT,
+    )
 
 
 @register(
@@ -6242,6 +6252,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Net 148 - 3 + 2 = 147/150, 3 slot-rounds of headroom.
 # Forecast: r9 = the 48 remaining r6-greens + the 2 late adds = 50;
 # r10 = the 47 remaining r7-greens (3 spare). Steady state ~49/49/49.
+# Scheduled r9 oracle change (PERFORMANCE.md "10x recall sweep"): the
+# four PQ/composition ANN entries migrate from the pinned fixed
+# rerank_mult to the auto-budget scalar-subquery oracle form the
+# Hamming entry already uses; they are r7-greens whose r10 slots can
+# move up into the 3 spare r10 slots if rule 1 overflows r9.
 # ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
     # rule 2 — never driver-checked: the r7 late adds (pre-committed

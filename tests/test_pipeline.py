@@ -1433,3 +1433,19 @@ def test_cooccurrence_stripes_twin_matches_pairs(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_pq_rerank_budget_autoscales_with_corpus(spark, sf_dir):
+    """The PQ/composition paths default to the shared auto-budget rule
+    (hamming_auto_mult): at this fixture (n=500 = N0) auto equals the
+    fixed base, and the physical plan's rank filter carries the
+    k*mult literal — so the budget actually reaches the plan. A bigger
+    synthetic corpus must produce a bigger literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    base_mult = SS.hamming_auto_mult(n)
+    assert base_mult == SS.PQ_RERANK_MULT  # N0 fixture: auto == fixed
+    plan = SS.pq_adc_topk(emb, k=5)._jdf.queryExecution().toString()
+    assert f"<= {5 * base_mult}" in plan
+    # 8x the corpus => +3 doublings => mult grows by 3*base
+    assert SS.hamming_auto_mult(8 * n) == SS.PQ_RERANK_MULT * 4
