@@ -45,8 +45,14 @@ HEAVY = [
     "corpus_curation",
     "sequence_packing",
     "dedup_stream_lsh",
-    "dedup_embedding_cosine",
+    # clusters BEFORE cosine: both consume the quadratic pair graph at
+    # low theta, and the r8 10x run showed cosine's ~560 s scaled run
+    # leaves enough JVM heap residue to inflate whatever runs next in
+    # the same session (clusters' base read 89 s vs its ~8 s clean
+    # bench time). Running clusters first gives it a clean base row;
+    # cosine is last in the family so its residue taxes nothing.
     "dedup_embedding_clusters",
+    "dedup_embedding_cosine",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "ann_hamming_topk",
