@@ -334,6 +334,14 @@ def ivf_assign(
     cent = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
     )
+    return _assign_cells(emb, cent)
+
+
+def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """:func:`ivf_assign`'s broadcast argmax against EXPLICIT centroid
+    rows (cid, ce) — shared with :func:`ann_index_append`, which reads
+    its centroids back out of the stored index instead of re-deriving
+    them from a corpus frame."""
     return (
         emb.crossJoin(F.broadcast(cent))
         .select(
@@ -627,6 +635,32 @@ def hamming_auto_mult(n_vectors: int) -> int:
     return HAMMING_RERANK_MULT * (1 + steps)
 
 
+# Memoized corpus counts for the auto rerank budget, keyed by the
+# DataFrame's semantic plan hash: load_table() builds a fresh DataFrame
+# per query construction, so identity keys would re-count every call
+# (ADVICE r8 — the default-arg path was paying a hidden full count()
+# per invocation). Bounded: one entry per distinct corpus plan seen
+# this session.
+_CORPUS_SIZE_CACHE: dict[int, int] = {}
+_CORPUS_SIZE_CACHE_MAX = 256
+
+
+def corpus_size(embeddings: DataFrame) -> int:
+    """Row count of the ANN corpus, memoized per semantic plan so the
+    ``rerank_mult=None`` default costs one count() control read per
+    corpus per session, not one per query construction."""
+    try:
+        key = embeddings.semanticHash()
+    except Exception:  # pragma: no cover - plan not hashable (connect etc.)
+        return embeddings.count()
+    n = _CORPUS_SIZE_CACHE.get(key)
+    if n is None:
+        if len(_CORPUS_SIZE_CACHE) >= _CORPUS_SIZE_CACHE_MAX:
+            _CORPUS_SIZE_CACHE.clear()
+        n = _CORPUS_SIZE_CACHE[key] = embeddings.count()
+    return n
+
+
 def _sign_sig_cols(ne_col, dims: int = DIMS):
     """64-bit sign signature packed as TWO 32-bit words (lo = dims 0–31,
     hi = dims 32–63): bit i = [ne_i ≥ 0]. Two words instead of one
@@ -679,7 +713,7 @@ def hamming_ann_topk(
     when even the signature scan must prune. Reported in bench next to
     every other ANN path."""
     if rerank_mult is None:
-        rerank_mult = hamming_auto_mult(embeddings.count())
+        rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     emb = _emb_normed(embeddings)
     lo, hi = _sign_sig_cols(F.col("ne"))
     sig = emb.select("vec_id", lo.alias("slo"), hi.alias("shi"))
@@ -746,9 +780,16 @@ def pq_codebooks(embeddings: DataFrame) -> DataFrame:
     convention as the IVF quantizer; Lloyd refinement per subspace plugs
     in via lloyd_train on the sliced columns). PQ_M·PQ_K = 128 tiny rows
     collected through the k-row control channel and broadcast."""
-    spark = embeddings.sparkSession
+    return codebooks_from_normed(_emb_normed(embeddings))
+
+
+def codebooks_from_normed(normed: DataFrame) -> DataFrame:
+    """:func:`pq_codebooks` over an already-normalized (vec_id, ne)
+    frame — the form :func:`ann_index_append` needs, since the stored
+    index carries unit vectors, not raw embeddings."""
+    spark = normed.sparkSession
     rows = (
-        _emb_normed(embeddings)
+        normed
         .where(F.col("vec_id") < PQ_K)
         .select("vec_id", "ne")
         .collect()
@@ -894,11 +935,11 @@ def pq_adc_topk(
     rule): the round-8 10× recall sweep measured the FIXED R=80 budget
     collapsing 0.825 → 0.40 recall@5 at a 20 000-vector corpus while
     the auto-scaled Hamming path held — an absolute budget decays for
-    ADC exactly as it did for sign bits. The registry queries pin the
-    fixed mult explicitly for oracle-text stability (migration to the
-    auto scalar-subquery form is the r9 window's slot-1 change)."""
+    ADC exactly as it did for sign bits. Since the r9 oracle migration
+    the registry entries run this auto path, with the oracle computing
+    the identical rule as a scalar subquery."""
     if rerank_mult is None:
-        rerank_mult = hamming_auto_mult(embeddings.count())
+        rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     emb = _emb_normed(embeddings)
     cb = (
         pq_train(embeddings, trained_rounds, sample_mod=train_sample_mod)
@@ -982,11 +1023,11 @@ def ivf_hamming_topk(
 
     ``rerank_mult=None`` auto-scales R with corpus size (shared
     :func:`hamming_auto_mult` rule — the fixed R=80 composition
-    measured 0.75 -> 0.35 recall@5 at the 10x corpus); registry query
-    pins the fixed mult for oracle-text stability until the r9
-    oracle migration."""
+    measured 0.75 -> 0.35 recall@5 at the 10x corpus); since the r9
+    oracle migration the registry entry runs this auto path, with the
+    oracle computing the identical rule as a scalar subquery."""
     if rerank_mult is None:
-        rerank_mult = hamming_auto_mult(embeddings.count())
+        rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     emb = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
     lo, hi = _sign_sig_cols(F.col("ne"))
     sig = emb.select(
@@ -1133,6 +1174,69 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def embedding_nearest_lsh(
+    embeddings: DataFrame,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = MULTI_PLANES,
+) -> DataFrame:
+    """Per-vector nearest same-bucket LSH neighbor — the BOUNDED-OUTPUT
+    production form of embedding near-dup detection (VERDICT r8 Next
+    #3).
+
+    :func:`embedding_near_dup_pairs_lsh` materializes the full
+    above-threshold pair enumeration, which on clustered data is
+    Θ(n²/k) rows at a low threshold — fine as an oracle twin, fatal as
+    a 100 TB output. A dedup pipeline only needs each document's BEST
+    candidate (then thresholds/links downstream), and that output is
+    Θ(n) by construction: one row per vector that collided with
+    anything.
+
+    Scale shape: candidates are the same (table, bucket) equi-join
+    collisions, ids-only and DISTINCT-ed; the exact cosine attaches
+    vectors wide by id; the per-vector argmax is ``MAX(STRUCT(cos,
+    -nn))`` — an ordinary partial+final aggregate, so each map task
+    emits at most one candidate per local vector and the shuffle
+    carries Θ(n) rows regardless of how many collisions scored. No
+    window over the full candidate set, no pair materialization.
+    Deterministic (cos rounded 6 dp before ranking, ties to the
+    smallest neighbor id), hence fully oracle-checked."""
+    wide = _emb_wide(embeddings)
+    tagged_ids = _multi_table_tagged_ids(
+        _emb_normed(embeddings), n_tables, planes_per_table
+    )
+    cand = (
+        tagged_ids.alias("l")
+        .join(tagged_ids.alias("r"), ["t", "b"])
+        .where(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_id"),
+            F.col("r.vec_id").alias("nn"),
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(_rename_wide(wide, "vec_id", "a"), "vec_id")
+        .join(_rename_wide(wide, "nn", "b"), "nn")
+        .select(
+            "vec_id",
+            "nn",
+            F.round(_dot_wide("a", "b"), 6).alias("cos"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("c"), (-F.col("nn")).alias("negnn")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.negnn")).alias("nn_id"),
+        F.round(F.col("m.c"), 4).alias("cos"),
+    )
+
+
 def lsh_ann_topk_multi(
     embeddings: DataFrame,
     n_queries: int = 8,
@@ -1215,10 +1319,11 @@ def ivf_pq_topk(
 
     ``rerank_mult=None`` auto-scales R with corpus size (shared
     :func:`hamming_auto_mult` rule — fixed R=80 measured 0.95 -> 0.40
-    recall@5 at the 10x corpus); registry query pins the fixed mult
-    until the r9 oracle migration."""
+    recall@5 at the 10x corpus); since the r9 oracle migration the
+    registry entry runs this auto path, with the oracle computing the
+    identical rule as a scalar subquery."""
     if rerank_mult is None:
-        rerank_mult = hamming_auto_mult(embeddings.count())
+        rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     embn = _emb_normed(embeddings)
     assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
     cb = pq_codebooks(embeddings)
@@ -1308,6 +1413,19 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
     embn = _emb_normed(embeddings)
     assigned = ivf_assign(embeddings)  # (vec_id, cell, ne)
     cb = pq_codebooks(embeddings)
+    (
+        _index_rows(embn, assigned, cb)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def _index_rows(embn: DataFrame, assigned: DataFrame, cb: DataFrame) -> DataFrame:
+    """The stored row shape (vec_id, ne, pq_code, slo, shi, cell) from
+    a normalized frame, its cell assignment and the codebooks — shared
+    by the full build and the incremental append so both write
+    bit-identical rows."""
     codes = (
         pq_encode(embn, cb)
         .groupBy("vec_id")
@@ -1319,17 +1437,64 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
         )
     )
     lo, hi = _sign_sig_cols(F.col("ne"))
-    (
-        assigned.join(codes, "vec_id")
-        .select(
-            "vec_id",
-            "ne",
-            "pq_code",
-            lo.alias("slo"),
-            hi.alias("shi"),
-            "cell",
+    return assigned.join(codes, "vec_id").select(
+        "vec_id",
+        "ne",
+        "pq_code",
+        lo.alias("slo"),
+        hi.alias("shi"),
+        "cell",
+    )
+
+
+def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
+    """Incrementally ingest an arrival batch into the cell-partitioned
+    on-disk index WITHOUT a full rebuild — the ingest twin of
+    incremental_components, and what a 100 TB index actually does
+    daily (VERDICT r8 Next #7).
+
+    The quantizers are read back out of the index itself: centroids
+    are the stored unit vectors of vec_id < IVF_CELLS, codebooks the
+    subvectors of vec_id < PQ_K — the same deterministic seed rows a
+    full rebuild over base ∪ batch would sample, PROVIDED the batch's
+    ids all exceed the stored max (validated; the daily-append id
+    pattern). New rows are assigned, encoded and sign-packed by the
+    shared :func:`_index_rows` builder and appended with a partitioned
+    append-mode write: each new file lands inside its cell's existing
+    directory, so partition pruning, the probe filter and every stored
+    byte of the old rows are untouched. Post-append the index is
+    bit-identical to a full rebuild (asserted by
+    tests/test_pipeline.py::test_ann_index_append_matches_rebuild,
+    including the ann_index_topk results on top).
+
+    Scale shape: one metadata-only count + two k-row control reads
+    (centroids, codebook seeds) against the stored index; the batch
+    itself sees exactly the build path's per-row work — broadcast
+    argmax assign, one partial-agg encode shuffle, map-side sign
+    packing — so append cost is ∝|batch|, never ∝|index|."""
+    stored = spark.read.parquet(path).select("vec_id", "ne")
+    stored_max = stored.agg(F.max("vec_id")).first()[0]
+    if stored_max is None:
+        raise ValueError(f"empty or missing index at {path}; build first")
+    new_min = new_embeddings.agg(F.min("vec_id")).first()[0]
+    if new_min is None:
+        return  # empty batch: nothing to append
+    floor = max(stored_max, IVF_CELLS - 1, PQ_K - 1)
+    if new_min <= floor:
+        raise ValueError(
+            f"append batch min vec_id {new_min} <= {floor}: ids must "
+            "exceed the stored max (and the quantizer seed range) for "
+            "the append to stay bit-identical to a rebuild"
         )
-        .write.mode("overwrite")
+    cent = stored.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    cb = codebooks_from_normed(stored)
+    newn = _emb_normed(new_embeddings)
+    assigned = _assign_cells(newn, cent)
+    (
+        _index_rows(newn, assigned, cb)
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
     )
@@ -1355,11 +1520,15 @@ def ann_index_topk(
     bit-identical results to the in-memory :func:`ivf_pq_topk` (tested),
     while reading n_probes/n_cells of the dataset.
 
-    ``rerank_mult=None`` auto-scales R with the stored corpus size
-    (same rule as the in-memory paths, so parity with
-    :func:`ivf_pq_topk` holds under defaults too)."""
+    ``rerank_mult=None`` auto-scales R with the STORED corpus size —
+    counted from the index at ``path`` (a parquet metadata-only count,
+    memoized per path plan), not from the ``embeddings`` argument, so
+    the budget is right even when the query vectors come from a
+    different or subset frame than the one the index was built from
+    (ADVICE r8). When the two frames match — the tested default —
+    this keeps bit-parity with :func:`ivf_pq_topk` under defaults."""
     if rerank_mult is None:
-        rerank_mult = hamming_auto_mult(embeddings.count())
+        rerank_mult = hamming_auto_mult(corpus_size(spark.read.parquet(path)))
     embn = _emb_normed(embeddings)
     cent = embn.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")

@@ -1556,6 +1556,47 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_nearest",
+    f"""
+    WITH {_EMB_CTE},
+    {_multi_tagged_cte(_NDUP_TABLES, _NDUP_PLANES)},
+    cand AS (SELECT DISTINCT l.vec_id AS vec_id, r.vec_id AS nn
+             FROM tagged l JOIN tagged r
+               ON l.t = r.t AND l.b = r.b AND l.vec_id <> r.vec_id),
+    scored AS (SELECT c.vec_id, c.nn,
+               ROUND({_COS.format(a="a.ne", b="b.ne")}, 6) AS cos
+               FROM cand c JOIN e a ON c.vec_id = a.vec_id
+               JOIN e b ON c.nn = b.vec_id),
+    rk AS (SELECT vec_id, nn, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nn ASC) AS rn
+           FROM scored)
+    SELECT vec_id, nn AS nn_id, ROUND(cos, 4) AS cos
+    FROM rk WHERE rn = 1
+    """,
+    doc="Per-vector nearest same-bucket LSH neighbor — the "
+    "BOUNDED-OUTPUT production form of embedding near-dup detection "
+    "(VERDICT r8 Next #3). dedup_embedding_cosine materializes the "
+    "full above-threshold pair enumeration (Θ(n²/k) rows on clustered "
+    "data at low θ — kept as the enumeration/oracle twin); a 100 TB "
+    "pipeline instead keeps each document's single best candidate and "
+    "thresholds downstream, an output that is Θ(n) by construction. "
+    "Spark side: same (table, bucket) ids-only collision join, exact "
+    "wide-column cosine, then MAX(STRUCT(cos, -nn)) per vector — an "
+    "ordinary partial+final aggregate (each map task emits ≤1 row per "
+    "local vector; the shuffle is Θ(n) no matter how many collisions "
+    "scored), not a window over the candidate set. Deterministic: cos "
+    "rounded 6 dp before ranking, ties to the smallest neighbor id.",
+)
+def q_dedup_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SS.embedding_nearest_lsh(
+        load_table(spark, sf_dir, "embeddings"),
+        n_tables=_NDUP_TABLES,
+        planes_per_table=_NDUP_PLANES,
+    )
+
+
+@register(
     "ann_lsh_topk_multi",
     f"""
     WITH {_EMB_CTE},
@@ -1810,6 +1851,28 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SQL twin of SS.hamming_auto_mult over the corpus CTE `e` (base +
+# base per corpus doubling past N0; power-of-two boundaries are
+# IEEE-exact in both engines). Shared by every auto-budget ANN oracle
+# since the r9 migration (the PQ/composition entries previously pinned
+# a fixed mult for oracle-text stability).
+_AUTO_MULT_SQL = (
+    f"{SS.HAMMING_RERANK_MULT} * (1 + GREATEST(0, CAST(CEIL(LOG2("
+    f"GREATEST((SELECT COUNT(*) FROM e), 1) / {SS.HAMMING_RERANK_N0}.0"
+    f")) AS BIGINT)))"
+)
+
+
+def _rerank_budget_sql(k: int, rerank_mult: int | None) -> str:
+    """The per-query exact-rerank row budget R as SQL: a pinned
+    ``k*mult`` literal, or ``rerank_mult=None`` for the auto-scaled
+    scalar subquery (the same rule the Spark side applies via
+    SS.hamming_auto_mult when its ``rerank_mult=None``)."""
+    if rerank_mult is not None:
+        return str(k * rerank_mult)
+    return f"{k} * ({_AUTO_MULT_SQL})"
+
+
 def _hamming_oracle(
     n_queries: int = 8,
     k: int = 5,
@@ -1820,11 +1883,7 @@ def _hamming_oracle(
     k·rerank_mult — with rerank_mult computed by the SAME auto-scale
     rule as SS.hamming_auto_mult (base + base per corpus doubling past
     N0; power-of-two boundaries are IEEE-exact in both engines)."""
-    mult_sql = (
-        f"{SS.HAMMING_RERANK_MULT} * (1 + GREATEST(0, CAST(CEIL(LOG2("
-        f"GREATEST((SELECT COUNT(*) FROM e), 1) / {SS.HAMMING_RERANK_N0}.0"
-        f")) AS BIGINT)))"
-    )
+    mult_sql = _AUTO_MULT_SQL
     half = dims // 2
     slo = " + ".join(
         f"(CASE WHEN ne[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
@@ -1899,7 +1958,7 @@ def _sign_words_sql(col: str, dims: int = SS.DIMS) -> tuple[str, str]:
 def _ivf_hamming_oracle(
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = SS.HAMMING_RERANK_MULT,
+    rerank_mult: int | None = None,
 ) -> str:
     """SQL mirror of SS.ivf_hamming_topk: IVF cell assignment + probe
     (identical to the ann_ivf_topk oracle) composed with the sign-bit
@@ -1932,7 +1991,7 @@ def _ivf_hamming_oracle(
     cand AS (SELECT query_id, neighbor_id FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY hd ASC, neighbor_id ASC) AS hr FROM ham)
-             WHERE hr <= {k * rerank_mult}),
+             WHERE hr <= {_rerank_budget_sql(k, rerank_mult)}),
     scored AS (SELECT c.query_id, c.neighbor_id,
                ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
                FROM cand c JOIN e n ON c.neighbor_id = n.vec_id
@@ -1959,16 +2018,13 @@ def _ivf_hamming_oracle(
     "fraction of the bytes read.",
 )
 def q_ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SS.ivf_hamming_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        rerank_mult=SS.HAMMING_RERANK_MULT,
-    )
+    return SS.ivf_hamming_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def _pq_oracle(
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = SS.PQ_RERANK_MULT,
+    rerank_mult: int | None = None,
     m: int = SS.PQ_M,
     dsub: int = SS.PQ_DSUB,
     kq: int = SS.PQ_K,
@@ -2005,7 +2061,7 @@ def _pq_oracle(
     cand AS (SELECT query_id, neighbor_id FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY adc DESC, neighbor_id ASC) AS ar
-              FROM approx) WHERE ar <= {k * rerank_mult}),
+              FROM approx) WHERE ar <= {_rerank_budget_sql(k, rerank_mult)}),
     scored AS (SELECT ca.query_id, ca.neighbor_id,
                ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
                FROM cand ca JOIN e n ON ca.neighbor_id = n.vec_id
@@ -2035,16 +2091,13 @@ def _pq_oracle(
     "(0.5 b/dim) / sign-Hamming (1 b/dim).",
 )
 def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SS.pq_adc_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        rerank_mult=SS.PQ_RERANK_MULT,
-    )
+    return SS.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def _pq_trained_oracle(
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = SS.PQ_RERANK_MULT,
+    rerank_mult: int | None = None,
     m: int = SS.PQ_M,
     dsub: int = SS.PQ_DSUB,
     kq: int = SS.PQ_K,
@@ -2110,7 +2163,7 @@ def _pq_trained_oracle(
     cand AS (SELECT query_id, neighbor_id FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY adc DESC, neighbor_id ASC) AS ar
-              FROM approx) WHERE ar <= {k * rerank_mult}),
+              FROM approx) WHERE ar <= {_rerank_budget_sql(k, rerank_mult)}),
     scored AS (SELECT ca.query_id, ca.neighbor_id,
                ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
                FROM cand ca JOIN e n ON ca.neighbor_id = n.vec_id
@@ -2153,7 +2206,6 @@ _PQ_TRAIN_SAMPLE_MOD = 4
 def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.pq_adc_topk(
         load_table(spark, sf_dir, "embeddings"),
-        rerank_mult=SS.PQ_RERANK_MULT,
         trained_rounds=SS.PQ_LLOYD_ROUNDS,
         train_sample_mod=_PQ_TRAIN_SAMPLE_MOD,
     )
@@ -4422,7 +4474,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_pq_oracle(
     n_queries: int = 8,
     k: int = 5,
-    rerank_mult: int = SS.PQ_RERANK_MULT,
+    rerank_mult: int | None = None,
     m: int = SS.PQ_M,
     dsub: int = SS.PQ_DSUB,
     kq: int = SS.PQ_K,
@@ -4474,7 +4526,7 @@ def _ivf_pq_oracle(
     cand AS (SELECT query_id, neighbor_id FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY adc DESC, neighbor_id ASC) AS ar
-              FROM approx) WHERE ar <= {k * rerank_mult}),
+              FROM approx) WHERE ar <= {_rerank_budget_sql(k, rerank_mult)}),
     scored AS (SELECT ca.query_id, ca.neighbor_id,
                ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
                FROM cand ca JOIN e n ON ca.neighbor_id = n.vec_id
@@ -4502,10 +4554,7 @@ def _ivf_pq_oracle(
     "Fully oracle-checked like the rest of the ANN ladder.",
 )
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SS.ivf_pq_topk(
-        load_table(spark, sf_dir, "embeddings"),
-        rerank_mult=SS.PQ_RERANK_MULT,
-    )
+    return SS.ivf_pq_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -4895,6 +4944,118 @@ def _bpe_merges_oracle(rounds: int) -> str:
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return BP.train_merges(spark, docs, _BPE_TRAIN_ROUNDS)
+
+
+_BPE_BATCH_MERGES = 8
+_BPE_BATCH_SIZE = 4
+
+
+def _bpe_batched_oracle(
+    num_merges: int, batch_size: int, candidate_factor: int = 4
+) -> str:
+    """Unrolled-round DuckDB twin of pipeline.bpe.train_merges_batched:
+    per round, rank the top candidate_factor*batch_size pairs, then
+    unroll the GREEDY symbol-disjoint selection one slot at a time —
+    slot j takes the best-ranked candidate sharing no symbol with
+    slots 1..j-1 (an empty slot contributes no symbols, so later slots
+    keep scanning, exactly like the Python selector). The batch's
+    replaces are applied in selection order (disjoint pairs commute,
+    but the order is mirrored anyway); a '~none~' sentinel makes an
+    empty slot's replace a no-op instead of a NULL. merge_round
+    numbering assumes full batches — the oracle check itself fails
+    loudly if the corpus ever yields a conflicted (short) batch, so
+    the assumption is verified at every scale the sweep runs. Every
+    CTE is MATERIALIZED: default inlining re-expands the chain
+    (rk is referenced per slot, y per successor) into an
+    exponential tree of parquet scans — observed as a too-many-
+    open-files abort before any wrong result could even emerge."""
+    assert num_merges % batch_size == 0
+    rounds = num_merges // batch_size
+    pool = max(candidate_factor, 1) * batch_size
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS w, "
+        "CAST(COUNT(*) AS BIGINT) AS freq FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+        "FROM documents) GROUP BY 1)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT pr.l AS lhs, pr.r AS rhs, "
+            "CAST(SUM(freq) AS BIGINT) AS pair_cnt FROM "
+            "(SELECT freq, unnest(list_transform(range(1, len(s)), "
+            "i -> {'l': s[i], 'r': s[i+1]})) AS pr FROM "
+            f"(SELECT freq, string_split(trim(w, '|'), '||') AS s FROM w{r - 1})) "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"rk{r} AS MATERIALIZED (SELECT lhs, rhs, pair_cnt, rn FROM "
+            "(SELECT *, ROW_NUMBER() OVER (ORDER BY pair_cnt DESC, "
+            f"lhs ASC, rhs ASC) AS rn FROM p{r}) WHERE rn <= {pool})"
+        )
+        for j in range(1, batch_size + 1):
+            if j == 1:
+                ctes.append(
+                    f"s{r}_1 AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM rk{r} "
+                    "ORDER BY rn LIMIT 1)"
+                )
+                ctes.append(
+                    f"y{r}_1 AS MATERIALIZED (SELECT lhs AS sym FROM s{r}_1 "
+                    f"UNION SELECT rhs FROM s{r}_1)"
+                )
+            else:
+                ctes.append(
+                    f"s{r}_{j} AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM rk{r} "
+                    f"WHERE lhs NOT IN (SELECT sym FROM y{r}_{j - 1}) "
+                    f"AND rhs NOT IN (SELECT sym FROM y{r}_{j - 1}) "
+                    "ORDER BY rn LIMIT 1)"
+                )
+                ctes.append(
+                    f"y{r}_{j} AS MATERIALIZED (SELECT sym FROM y{r}_{j - 1} "
+                    f"UNION SELECT lhs FROM s{r}_{j} "
+                    f"UNION SELECT rhs FROM s{r}_{j})"
+                )
+        repl = "v.w"
+        for j in range(1, batch_size + 1):
+            src = (
+                f"COALESCE((SELECT '|'||lhs||'||'||rhs||'|' FROM s{r}_{j}),"
+                " '~none~')"
+            )
+            dst = (
+                f"COALESCE((SELECT '|'||lhs||rhs||'|' FROM s{r}_{j}),"
+                " '~none~')"
+            )
+            repl = f"replace({repl}, {src}, {dst})"
+        ctes.append(f"w{r} AS MATERIALIZED (SELECT {repl} AS w, v.freq FROM w{r - 1} v)")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({(r - 1) * batch_size + j} AS BIGINT) AS merge_round, "
+        f"lhs, rhs, pair_cnt FROM s{r}_{j}"
+        for r in range(1, rounds + 1)
+        for j in range(1, batch_size + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+@register(
+    "bpe_merges_batched",
+    _bpe_batched_oracle(_BPE_BATCH_MERGES, _BPE_BATCH_SIZE),
+    doc="BATCHED BPE training (pipeline/bpe.py train_merges_batched — "
+    "VERDICT r8 Next #6): per round, merge the top-4 mutually "
+    "symbol-disjoint pairs instead of one, the standard batched-BPE "
+    "scale fix — a real 30k-merge vocab costs ~30k/4 Spark jobs "
+    "instead of 30k (measured 7.6× for 8× fewer rounds at sf0.01). "
+    "Disjoint pairs are count-invariant under each other's replaces, "
+    "so each selected pair records exactly the count a sequential "
+    "trainer would have seen at its turn; conflicting candidates are "
+    "skipped to the next round (greedy selector, ≤pool-sized control "
+    "read per round). Oracle unrolls both the rounds AND the greedy "
+    "disjoint selection per slot in SQL, so the batched schedule is "
+    "fully value-checked, not just compared to the sequential twin.",
+)
+def q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return BP.train_merges_batched(
+        spark, docs, _BPE_BATCH_MERGES, batch_size=_BPE_BATCH_SIZE
+    )
 
 
 # Ordered merge list for the encode entry: a FIXED tokenizer, which is
@@ -6250,92 +6411,102 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (follower_sum, late_exclusive_suppliers_sql,
 # customer_running_totals_pandas — rationale on each @retire).
 # Net 148 - 3 + 2 = 147/150, 3 slot-rounds of headroom.
-# Forecast: r9 = the 48 remaining r6-greens + the 2 late adds = 50;
-# r10 = the 47 remaining r7-greens (3 spare). Steady state ~49/49/49.
-# Scheduled r9 oracle change (PERFORMANCE.md "10x recall sweep"): the
-# four PQ/composition ANN entries migrate from the pinned fixed
-# rerank_mult to the auto-budget scalar-subquery oracle form the
-# Hamming entry already uses; they are r7-greens whose r10 slots can
-# move up into the 3 spare r10 slots if rule 1 overflows r9.
+# Round-9 window (THIS round): the 48 remaining r6-greens + the 2 r8
+# late adds = 50, exactly as the r8 forecast committed.
+# Round-9 oracle change (executed as scheduled, PERFORMANCE.md "10x
+# recall sweep"): the four PQ/composition ANN entries
+# (ann_pq_adc_topk, ann_pq_trained_topk, ann_ivf_hamming_topk,
+# ann_ivf_pq_topk) migrated from the pinned fixed rerank_mult to the
+# auto-budget scalar-subquery oracle form the Hamming entry adopted in
+# r8. They are r7-greens already holding r10 slots, so rule 1 resolves
+# without displacing the (full) r9 window: 4-scale local oracle
+# evidence on the NEW oracle this round, driver rows next round — the
+# same late-add precedent bpe_merges set in r7/r8.
+# Round-9 adds (rule 2 -> r10 window, taking 2 of its 3 spare slots,
+# 4-scale local evidence this round): dedup_embedding_nearest (the
+# bounded-output production near-dup variant, VERDICT r8 Next #3) and
+# bpe_merges_batched (the batched trainer, VERDICT r8 Next #6).
+# Forecast: r10 = the 47 r7-greens (the 4 oracle-migrated entries are
+# among them) + the 2 r9 adds = 49 (1 spare). r11 = the 50 r8-greens.
+# Steady state ~49/50/50.
 # ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    # rule 2 — never driver-checked: the r7 late adds (pre-committed
-    # to this window by the r7 schedule) ...
-    "bpe_merges", "dedup_clusters_incremental",
-    # ... and the round-8 additions:
-    "set_ops", "bpe_encode_tokens", "epoch_shuffle", "hash_split",
-    # rule 3 — the 44 remaining r5-greens (freshest row r5):
-    "dedup_stream_lsh",
-    "anti_join", "customer_running_totals", "lang_id",
-    "udf_discounted_price", "repetition_stats", "pii_redact",
-    "order_priority_semi", "volume_shipping", "returned_items",
-    "promo_revenue", "large_orders", "disjunctive_revenue",
-    "idle_customers", "min_cost_supplier", "grouping_sets_pricing",
-    "ann_ivf_pq_topk", "forecast_revenue", "order_count_distribution",
-    "small_quantity_revenue", "market_share",
-    "late_exclusive_suppliers", "important_parts", "doc_chunks",
-    "funnel_conversion", "best_revenue_supplier",
-    "stream_enriched_totals", "events_props_variant",
-    "ann_lsh_topk_multiprobe", "ann_ivf_trained_topk",
-    "ann_pq_trained_topk", "sequence_packing", "stratified_sample",
-    "hof_gauntlet", "sentence_split_udtf", "semdedup_keep",
-    "source_quota_sample", "zorder_values", "asof_latest_order_cogroup",
-    "bigram_counts", "nation_profit",
-    "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
+    # rule 2 — never driver-checked: the round-8 LATE adds
+    # (pre-committed to this window by the r8 schedule; 4-scale
+    # local oracle evidence recorded in r8):
+    "cooccurrence_pmi", "dedup_keep_best",
+    # rule 3 — the 48 remaining r6-greens (freshest row r6, age 3
+    # entering r9 — exactly at the staleness bound):
+    "shipmode_priority", "bigram_lm_scores", "batch_sessionize",
+    "scd2_event_intervals", "secondary_sort_orders",
+    "weighted_sample_priority", "doc_provenance", "null_safe_join",
+    "incremental_merge_counts", "events_hourly_gapfill", "cohort_retention",
+    "dedup_cluster_sizes", "vocab_oov_rate", "source_mixture_weights",
+    "conditional_agg_flags", "follower_count", "window_events",
+    "udaf_weighted_avg", "pricing_summary", "similarity_topk",
+    "events_props_json", "sales_rollup", "asof_latest_order",
+    "session_windows", "quantity_percentiles", "pagerank_general",
+    "dedup_minhash_lsh", "doc_fingerprints", "text_stats", "grouped_sum",
+    "grouped_min_max", "global_agg", "grouped_collect", "case_when",
+    "scalar_gauntlet", "inner_join", "semi_join", "broadcast_join",
+    "two_hop_paths", "top_k", "union_reagg", "pagerank_idfilter",
+    "sssp_distances", "sssp_paths", "triangle_count", "kmeans_centroids",
+    "dedup_exact", "simhash_fingerprints",
 ]
 
 # Outside the driver's 50-row window this round: every entry below has
-# a green driver row from r6 or r7 (ages 1-2 entering r8; none reaches
-# the age-3 bound before its scheduled r9/r10 slot) — except the two
-# round-8 LATE adds at the end (rule 2 -> r9 window, 4-scale local
-# evidence); all are still oracle-checked locally at sf0.001 by
-# tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py
-# every round.
+# a green driver row from r7 or r8 (ages 1-2 entering r9; none reaches
+# the age-3 bound before its scheduled r10/r11 slot); all are still
+# oracle-checked locally at sf0.001 by tests/test_oracle_parity and at
+# sf0.01 by tools/check_oracles.py every round.
 _TAIL = [
-    # r6-green (age 2 entering r8): the r9 cohort (48 entries after
-    # the two r8 twin retirements).
-    "shipmode_priority", "bigram_lm_scores",
-    "batch_sessionize", "scd2_event_intervals",
-    "secondary_sort_orders", "weighted_sample_priority",
-    "doc_provenance", "null_safe_join",
-    "incremental_merge_counts", "events_hourly_gapfill",
-    "cohort_retention", "dedup_cluster_sizes", "vocab_oov_rate",
-    "source_mixture_weights",
-    "conditional_agg_flags",
-    "follower_count", "window_events", "udaf_weighted_avg",
-    "pricing_summary", "similarity_topk", "events_props_json",
-    "sales_rollup", "asof_latest_order", "session_windows",
-    "quantity_percentiles", "pagerank_general", "dedup_minhash_lsh",
-    "doc_fingerprints", "text_stats", "grouped_sum", "grouped_min_max",
-    "global_agg", "grouped_collect", "case_when", "scalar_gauntlet",
-    "inner_join", "semi_join", "broadcast_join", "two_hop_paths",
-    "top_k", "union_reagg", "pagerank_idfilter", "sssp_distances",
-    "sssp_paths", "triangle_count", "kmeans_centroids", "dedup_exact",
-    "simhash_fingerprints",
-    # r7-green (age 1 entering r8): the r10 cohort (47 entries — the
-    # former r7 window minus the 2 early-r8 retirements and
-    # follower_sum, retired late-r8).
+    # r7-green (age 2 entering r9): the r10 cohort (47 entries).
+    # ann_pq_adc_topk and ann_ivf_hamming_topk in here carry the r9
+    # oracle migration (pinned rerank_mult -> auto scalar-subquery
+    # budget, same change the Hamming entry made in r8) — their
+    # scheduled r10 slots double as the rule-1 fresh-row requirement;
+    # 4-scale local oracle evidence on the new form this round.
     "incident_event_counts", "degree_distribution", "value_histogram",
-    "time_weighted_avg", "triangle_count_ordered",
-    "ann_ivf_topk", "dedup_embedding_clusters", "quality_filter",
-    "corpus_curation",
+    "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
+    "dedup_embedding_clusters", "quality_filter", "corpus_curation",
     "ann_hamming_topk", "ann_pq_adc_topk", "ann_ivf_hamming_topk",
-    "dedup_embedding_cosine", "explode_variants",
-    "window_function_gauntlet", "events_rolling_hour",
-    "similarity_topk_q8", "dedup_ngram_jaccard", "token_counts_bpe",
-    "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type", "sliding_windows", "top_events_per_user",
-    "pagerank_df_quirk", "pagerank_topk", "kmeans_followers",
-    "pivot_event_counts", "unpivot_event_counts", "top_supplier",
-    "salted_join", "decontamination", "ann_lsh_topk_multi",
+    "dedup_embedding_cosine", "explode_variants", "window_function_gauntlet",
+    "events_rolling_hour", "similarity_topk_q8", "dedup_ngram_jaccard",
+    "token_counts_bpe", "token_doc_frequency", "sql_revenue_by_nation",
+    "shipping_priority", "distinct_users_per_type", "sliding_windows",
+    "top_events_per_user", "pagerank_df_quirk", "pagerank_topk",
+    "kmeans_followers", "pivot_event_counts", "unpivot_event_counts",
+    "top_supplier", "salted_join", "decontamination", "ann_lsh_topk_multi",
     "multimodal_meta", "dedup_clusters", "dedup_clusters_star",
     "sentence_stats", "text_normalize", "inverted_index", "bm25_topk",
-    "max_filter", "distinct_pairs", "right_outer_join",
-    "explode_tokens", "salted_follower_count",
-    "triangle_count_broadcast",
-    # round-8 LATE adds (never driver-checked — rule 2 pre-commits
-    # them to the r9 window; 4-scale local oracle evidence this round):
-    "cooccurrence_pmi", "dedup_keep_best",
+    "max_filter", "distinct_pairs", "right_outer_join", "explode_tokens",
+    "salted_follower_count", "triangle_count_broadcast",
+    # r8-green (age 1 entering r9): the r11 cohort (50 entries).
+    "bpe_merges", "dedup_clusters_incremental", "set_ops",
+    "bpe_encode_tokens", "epoch_shuffle", "hash_split", "dedup_stream_lsh",
+    "anti_join", "customer_running_totals", "lang_id", "udf_discounted_price",
+    "repetition_stats", "pii_redact", "order_priority_semi",
+    "volume_shipping", "returned_items", "promo_revenue", "large_orders",
+    "disjunctive_revenue", "idle_customers", "min_cost_supplier",
+    "grouping_sets_pricing", "ann_ivf_pq_topk", "forecast_revenue",
+    "order_count_distribution", "small_quantity_revenue", "market_share",
+    "late_exclusive_suppliers", "important_parts", "doc_chunks",
+    "funnel_conversion", "best_revenue_supplier", "stream_enriched_totals",
+    "events_props_variant", "ann_lsh_topk_multiprobe", "ann_ivf_trained_topk",
+    "ann_pq_trained_topk", "sequence_packing", "stratified_sample",
+    "hof_gauntlet", "sentence_split_udtf", "semdedup_keep",
+    "source_quota_sample", "zorder_values", "asof_latest_order_cogroup",
+    "bigram_counts", "nation_profit", "parts_supplier_counts",
+    "excess_shippers", "repeated_ngrams",
+    # NOTE on the other two r9 oracle migrations: ann_ivf_pq_topk and
+    # ann_pq_trained_topk (r8-greens, listed above) also moved to the
+    # auto-budget oracle this round. ann_ivf_pq_topk is pulled forward
+    # into the r10 window (taking its last spare slot);
+    # ann_pq_trained_topk keeps its r11 slot with 4-scale local
+    # evidence on the new oracle until then — the late-add precedent.
+    # round-9 adds (never driver-checked — rule 2 pre-commits them to
+    # the r10 window; 4-scale local oracle evidence this round):
+    "dedup_embedding_nearest", "bpe_merges_batched",
 ]
 
 

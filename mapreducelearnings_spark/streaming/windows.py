@@ -418,22 +418,35 @@ def _quiet_streaming_join_helper(spark: SparkSession) -> None:
 
 
 def run_streaming_lsh_to_memory(
-    spark: SparkSession, src_dir: str, table_name: str = "stream_lsh_pairs"
+    spark: SparkSession,
+    src_dir: str,
+    table_name: str = "stream_lsh_pairs",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain the bounded documents source through the candidate stream
     into an append-mode memory sink (availableNow backfill pattern).
 
     The drain runs under ``loop_conf``: a stream-stream join allocates
-    one state store per shuffle partition per micro-batch, and at the
-    default 32 partitions that fixed state-store overhead dominated the
-    fixture-scale drain (~110 s at sf0.01 → ~3× faster at 8). The
-    partition count is a per-run sizing knob exactly like the batch
-    side's shuffle partitions — at real ingest volume it scales back up
-    with the key cardinality; nothing in the query shape changes."""
+    one state store per shuffle partition per micro-batch, so the
+    partition count trades fixed state-store overhead (dominates small
+    drains: 32 partitions measured ~3× slower than 8 at fixture scale)
+    against join/state parallelism (dominates big drains: the r8 10×
+    smoke pinned the drain at 8 partitions while the batch twin ran at
+    32, and the stream grew 6.05× where batch grew 0.84× — the only
+    superlinear row that round). ``shuffle_partitions=None`` therefore
+    sizes the knob from the source row count (a parquet metadata-only
+    count): ~2 000 docs of state per store, clamped to [8, 32] — 8 at
+    every driver/bench scale, 25 at the 10× smoke (re-measured ratio
+    in PERFORMANCE.md r9). At real ingest volume the same rule scales
+    with the arrival window's volume; nothing in the query shape
+    changes."""
     from ..plans.iterate import loop_conf
 
+    if shuffle_partitions is None:
+        n_docs = spark.read.parquet(f"{src_dir}/documents.parquet").count()
+        shuffle_partitions = max(8, min(32, n_docs // 2000))
     _quiet_streaming_join_helper(spark)
-    with loop_conf(spark, 8):
+    with loop_conf(spark, shuffle_partitions):
         q = (
             streaming_lsh_candidates(stream_documents(spark, src_dir))
             .writeStream.format("memory")

@@ -721,6 +721,74 @@ def test_ann_index_roundtrip_matches_in_memory(spark, sf_dir, tmp_path):
     assert len(on_disk) > 0
 
 
+def test_ann_index_append_matches_rebuild(spark, sf_dir, tmp_path):
+    """Incremental ingest: build the index from the first 3/4 of the
+    corpus, append the rest as an arrival batch — the stored rows AND
+    the query results must be bit-identical to a full rebuild over the
+    union (the append re-reads centroids/codebooks from the stored
+    index, so this pins that the stored quantizers reproduce the
+    rebuild's exactly)."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = max(SS.PQ_K, SS.IVF_CELLS, (3 * n) // 4)
+    base = emb.where(F.col("vec_id") < cut)
+    batch = emb.where(F.col("vec_id") >= cut)
+    assert batch.count() > 0, "fixture too small to split"
+
+    inc_path = str(tmp_path / "ann_index_inc")
+    SS.ann_index_write(base, inc_path)
+    SS.ann_index_append(spark, inc_path, batch)
+    full_path = str(tmp_path / "ann_index_full")
+    SS.ann_index_write(emb, full_path)
+
+    def rows(p):
+        return {
+            (
+                r["vec_id"],
+                tuple(r["ne"]),
+                tuple(r["pq_code"]),
+                r["slo"],
+                r["shi"],
+                r["cell"],
+            )
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rows(inc_path) == rows(full_path)
+    inc_topk = {
+        tuple(r)
+        for r in SS.ann_index_topk(
+            spark, inc_path, emb, n_queries=4, k=5
+        ).collect()
+    }
+    full_topk = {
+        tuple(r)
+        for r in SS.ann_index_topk(
+            spark, full_path, emb, n_queries=4, k=5
+        ).collect()
+    }
+    assert inc_topk == full_topk and len(inc_topk) > 0
+
+
+def test_ann_index_append_rejects_seed_range_ids(spark, sf_dir, tmp_path):
+    """An append whose ids do not exceed the stored max (or would land
+    inside the quantizer seed range) cannot be bit-identical to a
+    rebuild — the guard must refuse it loudly."""
+    import pytest
+
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index_guard")
+    SS.ann_index_write(emb.where(F.col("vec_id") < 300), path)
+    with pytest.raises(ValueError, match="append batch min vec_id"):
+        SS.ann_index_append(
+            spark, path, emb.where(F.col("vec_id") < 300)
+        )
+
+
 def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):
     """The probe-cell filter must reach the scan as PARTITION pruning:
     the executed plan's file index reads only the probed cell

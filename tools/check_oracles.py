@@ -67,8 +67,21 @@ def main() -> int:
     # driver JVM, let one pathological oracle plan OOM the whole sweep
     # at the 3x dir (r8: the correlated asof subquery hit +64 GB before
     # it was rewritten as a join). Cap the oracle engine and give it a
-    # spill directory so a heavy plan gets slow, not fatal.
-    con.execute("SET memory_limit='24GB'")
+    # spill directory so a heavy plan gets slow, not fatal. The cap is
+    # derived from detected RAM (ADVICE r8: a hardcoded 24GB would
+    # RAISE the limit above DuckDB's ~80% default on small hosts):
+    # min(24GB, 50% of total), floored at 1GB.
+    total_gb = 64.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    cap_gb = max(1, int(min(24, total_gb * 0.5)))
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
     con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in (
         "region nation customer supplier part orders lineitem events "

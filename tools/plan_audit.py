@@ -64,7 +64,6 @@ PYTHON_EXEC_EXPECTED = frozenset(
     {
         "udf_discounted_price",      # pandas_udf surface demo
         "udaf_weighted_avg",         # GROUPED_AGG pandas UDAF
-        "customer_running_totals_pandas",  # applyInPandas surface twin
         "sentence_split_udtf",       # class-based Python UDTF surface twin
         "multimodal_meta",           # mapInPandas/mapInArrow feature extraction
         "asof_latest_order_cogroup", # cogroup applyInPandas twin
