@@ -303,43 +303,40 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         "ann_hamming_topk": recall(
             SS.hamming_ann_topk(emb, n_queries=8, k=5).collect()
         ),
-        # The four PQ/composition rows below pin rerank_mult to the
-        # SAME fixed constant the timed registry queries use, so the
-        # recall printed next to a timing describes that timing. The
-        # *_auto rows report the library-default auto-scaled budget
-        # (hamming_auto_mult) — the config a user gets, and the one
-        # that holds recall at 10x where the fixed budget collapses
-        # (PERFORMANCE.md "10x recall").
+        # The four PQ/composition rows below use the library-default
+        # AUTO-scaled rerank budget — the SAME default the timed
+        # registry queries use since the r9 oracle migration, so the
+        # recall printed next to a timing describes that timing (and
+        # the budget that holds recall at 10x where a fixed one
+        # collapses, PERFORMANCE.md "10x recall"). The *_fixed rows
+        # keep the historical pinned-constant budget for comparison.
         "ann_pq_adc_topk": recall(
-            SS.pq_adc_topk(
-                emb, n_queries=8, k=5, rerank_mult=SS.PQ_RERANK_MULT
-            ).collect()
+            SS.pq_adc_topk(emb, n_queries=8, k=5).collect()
         ),
         "ann_ivf_hamming_topk": recall(
-            SS.ivf_hamming_topk(
-                emb, n_queries=8, k=5, rerank_mult=SS.HAMMING_RERANK_MULT
-            ).collect()
+            SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()
         ),
         "ann_ivf_pq_topk": recall(
-            SS.ivf_pq_topk(
-                emb, n_queries=8, k=5, rerank_mult=SS.PQ_RERANK_MULT
-            ).collect()
+            SS.ivf_pq_topk(emb, n_queries=8, k=5).collect()
         ),
         "ann_pq_trained_topk": recall(
             SS.pq_adc_topk(
                 emb,
                 n_queries=8,
                 k=5,
-                rerank_mult=SS.PQ_RERANK_MULT,
                 trained_rounds=SS.PQ_LLOYD_ROUNDS,
                 train_sample_mod=4,
             ).collect()
         ),
-        "ann_pq_adc_topk_auto": recall(
-            SS.pq_adc_topk(emb, n_queries=8, k=5).collect()
+        "ann_pq_adc_topk_fixed": recall(
+            SS.pq_adc_topk(
+                emb, n_queries=8, k=5, rerank_mult=SS.PQ_RERANK_MULT
+            ).collect()
         ),
-        "ann_ivf_pq_topk_auto": recall(
-            SS.ivf_pq_topk(emb, n_queries=8, k=5).collect()
+        "ann_ivf_pq_topk_fixed": recall(
+            SS.ivf_pq_topk(
+                emb, n_queries=8, k=5, rerank_mult=SS.PQ_RERANK_MULT
+            ).collect()
         ),
     }
 

@@ -67,3 +67,19 @@ def test_correctness_window_is_exactly_fifty():
     assert len(_CORRECTNESS_WINDOW) == 50
     assert len(_CORRECTNESS_WINDOW) + len(_TAIL) == len(REGISTRY)
     assert list(REGISTRY)[:50] == _CORRECTNESS_WINDOW
+
+
+def test_coverage_index_cites_every_query():
+    """Every registry/retired entry must be cited (query:`name`
+    convention) somewhere in COVERAGE.md, and no citation may name a
+    query that no longer exists — the mechanical guarantee behind the
+    generated cross-index (tools/coverage_index.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "coverage_index", "/root/repo/tools/coverage_index.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _, problems = mod.build_table()
+    assert problems == []

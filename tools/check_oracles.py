@@ -6,16 +6,59 @@ row count, column names (sorted), and values (rows sorted, exact
 equality — stricter than the driver's hash, so green here should mean
 green there).
 
+Every run also merges its per-query outcomes into ``SWEEPS.json`` at
+the repo root ({query: {sf_dir, ts, ok}}), so the latest local-sweep
+evidence per query is machine-readable (tools/coverage_index.py reads
+it to build the COVERAGE.md cross-index).
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import json
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+SWEEPS_PATH = "/root/repo/SWEEPS.json"
+
+
+def record_sweep(results: dict[str, bool], sf_dir: str) -> None:
+    """Merge this run's per-query pass/fail into SWEEPS.json. A deeper
+    scale supersedes a shallower one only on pass; a FAIL always
+    overwrites (stale green evidence is worse than a visible red)."""
+    try:
+        with open(SWEEPS_PATH) as f:
+            log = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        log = {}
+    def scale_of(d: str) -> float:
+        m = __import__("re").search(r"sf([0-9.]+)", d.rstrip("/").rsplit("/", 1)[-1])
+        try:
+            return float(m.group(1)) if m else 0.0
+        except ValueError:
+            return 0.0
+
+    ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d")
+    for name, ok in results.items():
+        prev = log.get(name)
+        keep_deeper = (
+            ok
+            and prev is not None
+            and prev.get("ok")
+            and scale_of(prev.get("sf_dir", "")) > scale_of(sf_dir)
+        )
+        if not keep_deeper:
+            log[name] = {"sf_dir": sf_dir, "ts": ts, "ok": ok}
+    tmp = SWEEPS_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(log, f, indent=1, sort_keys=True)
+    os.replace(tmp, SWEEPS_PATH)
 
 
 def normalize(rows, colnames):
@@ -94,11 +137,13 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures, skipped = [], []
+    outcomes: dict[str, bool] = {}
     checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         checked += 1
+        outcomes[name] = False
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -110,6 +155,8 @@ def main() -> int:
             continue
         if name not in oracles:
             skipped.append(name)
+            # rows-only entries have no oracle verdict to record
+            outcomes.pop(name)
             print(f"skip  {name}: no oracle (rows-only) rows={len(srows)}")
             continue
         try:
@@ -151,8 +198,10 @@ def main() -> int:
             print(f"      spark : {ns[bad]}")
             print(f"      oracle: {no[bad]}")
             continue
+        outcomes[name] = True
         print(f"ok    {name}  rows={len(ns)}  ({dt:.1f}s)  rss={_rss_gb():.1f}g")
 
+    record_sweep(outcomes, sf_dir)
     print(
         f"\n{checked - len(failures) - len(skipped)} ok, "
         f"{len(failures)} failed, {len(skipped)} rows-only "
