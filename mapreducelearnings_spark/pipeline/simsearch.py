@@ -1230,10 +1230,15 @@ def embedding_nearest_lsh(
             )
         ).alias("m")
     )
+    # Output the 6-dp ranking value AS IS. Re-rounding it to 4 dp would
+    # double-round: a 6-dp-quantized cos lands exactly on a 4-dp half
+    # tie (…x5000) about 1% of the time, and the two engines' tie
+    # behavior on such exact boundaries differs by 1 ulp (sf0.1
+    # surfaced 3/2000 rows; sf0.001/0.01/3x never sampled one).
     return best.select(
         "vec_id",
         (-F.col("m.negnn")).alias("nn_id"),
-        F.round(F.col("m.c"), 4).alias("cos"),
+        F.col("m.c").alias("cos"),
     )
 
 

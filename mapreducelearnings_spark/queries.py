@@ -1571,7 +1571,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROW_NUMBER() OVER (PARTITION BY vec_id
                               ORDER BY cos DESC, nn ASC) AS rn
            FROM scored)
-    SELECT vec_id, nn AS nn_id, ROUND(cos, 4) AS cos
+    SELECT vec_id, nn AS nn_id, cos
     FROM rk WHERE rn = 1
     """,
     doc="Per-vector nearest same-bucket LSH neighbor — the "
@@ -1586,7 +1586,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ordinary partial+final aggregate (each map task emits ≤1 row per "
     "local vector; the shuffle is Θ(n) no matter how many collisions "
     "scored), not a window over the candidate set. Deterministic: cos "
-    "rounded 6 dp before ranking, ties to the smallest neighbor id.",
+    "rounded 6 dp before ranking, ties to the smallest neighbor id; "
+    "the output carries that 6-dp value unchanged (re-rounding a "
+    "6-dp-quantized double to 4 dp lands on exact half-ties where the "
+    "engines diverge by 1 ulp — caught by the sf0.1 sweep).",
 )
 def q_dedup_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.embedding_nearest_lsh(
