@@ -75,9 +75,18 @@ def band_signatures_rowwise(
     candidate join carries state. Docs with no shingles (< n tokens)
     produce no rows, matching the explode-groupBy path."""
     rows = num_hashes // bands
+    # Drop shingle-less docs on the CHEAP precondition (fewer than n
+    # tokens ⟺ word_shingles returns the empty array), not on
+    # size(hs) > 0: a filter on hs embeds the whole shingle+md5
+    # expression, and predicate pushdown then re-anchors that filter —
+    # expensive expression and all — below any exchange a caller adds
+    # (the streaming drain repartitions before this projection so 32
+    # cores hash; the pushed-down filter serialized all the hashing
+    # back onto the single source partition — measured 82 s of the
+    # 10x drain's 98 s wall, r9).
     toks = docs.select(
         "doc_id", *passthrough, X.tokens(text_col).alias("_toks")
-    )
+    ).where(F.size(F.col("_toks")) >= 3)
     sh = toks.select(
         "doc_id",
         *passthrough,
@@ -85,7 +94,7 @@ def band_signatures_rowwise(
             X.word_shingles(F.col("_toks")),
             lambda s: X.md5_long(s) % X.MINHASH_M,
         ).alias("hs"),
-    ).where(F.size("hs") > 0)
+    )
     mh = [
         F.array_min(
             F.transform(F.col("hs"), lambda h: X.minhash_value(h, i))

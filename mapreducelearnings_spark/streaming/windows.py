@@ -376,7 +376,17 @@ def streaming_lsh_candidates(docs: DataFrame) -> DataFrame:
     the full corpus, this dedups the arrival window)."""
     from ..pipeline import dedup as DD
 
-    banded = DD.band_signatures_rowwise(docs, passthrough=("ts",))
+    # Spread the signature computation BEFORE computing it: the
+    # streaming file source plans one task per source file, so a fat
+    # arrival file serializes the per-row MinHash projection onto one
+    # core — measured 82 s of the 98 s 10x drain (r9), while the join's
+    # state stores cost ~2 s. A deterministic hash repartition on
+    # doc_id (streaming-safe, unlike round-robin) shuffles only the
+    # raw doc rows and lets every core hash shingles. Partition count
+    # follows the session's shuffle setting (sized by the drain).
+    banded = DD.band_signatures_rowwise(
+        docs.repartition(F.col("doc_id")), passthrough=("ts",)
+    )
     x, y = banded.alias("x"), banded.alias("y")
     pairs = x.join(
         y,
