@@ -67,6 +67,10 @@ HEAVY = [
     # round-8 late adds: pair-expand aggregate + LSH/CC + quality argmax
     "cooccurrence_pmi",
     "dedup_keep_best",
+    # round-9 adds: bounded-output near-dup (collision-bound compute,
+    # Θ(n) output) + the batched BPE trainer
+    "dedup_embedding_nearest",
+    "bpe_merges_batched",
 ]
 
 
@@ -163,6 +167,10 @@ def build_scaled_dir(out_dir: str, mult: int) -> None:
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_smoke"
+    # optional query subset (argv[3:]): time only these HEAVY members —
+    # used to re-measure a fix without paying the two output-quadratic
+    # embedding-pair entries (~1100 s at 10×, unchanged by contract)
+    only = set(sys.argv[3:])
     scaled = os.path.join(out_root, f"sf0.{mult}")
     build_scaled_dir(scaled, mult)
 
@@ -172,6 +180,8 @@ def main() -> None:
     spark = get_spark("scale_smoke", shuffle_partitions=32)
     results: dict[str, dict] = {}
     for name in HEAVY:
+        if only and name not in only:
+            continue
         spec = REGISTRY[name]
         row = {}
         for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
@@ -193,6 +203,11 @@ def main() -> None:
     # (VERDICT r07 Next #5).
     from mapreducelearnings_spark import queries as Q
     from mapreducelearnings_spark.operators import graph as G
+
+    if only and "incremental_maintenance_step" not in only:
+        line = json.dumps({"mult": mult, "queries": results, "subset": True})
+        print(line)
+        return
 
     row = {}
     for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
