@@ -75,6 +75,9 @@ HEADLINE = [
     "token_counts_bpe",
     "token_doc_frequency",
     "bpe_merges",
+    # round-9: the batched trainer (k disjoint merges per round — the
+    # 30k-vocab path; sequential twin above stays for comparison)
+    "bpe_merges_batched",
     # round-8: tokenizer encode + epoch shuffle + hash split + merged
     # set-ops entry (VERDICT r07 Next #2)
     "bpe_encode_tokens",
@@ -168,6 +171,10 @@ HEADLINE = [
     "similarity_topk_q8",
     "dedup_embedding_cosine",
     "dedup_embedding_clusters",
+    # round-9: the bounded-output production near-dup (Θ(n) output,
+    # in-place collision scoring — the 100 TB form of the two
+    # enumeration twins above)
+    "dedup_embedding_nearest",
     "semdedup_keep",
 ]
 

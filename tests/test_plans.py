@@ -523,3 +523,61 @@ def test_round6b_profiling_query_plans(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 4
+
+
+def test_rowwise_signature_hashing_stays_above_added_exchange(spark, sf_dir):
+    """Lesson 22 guard (round 9): band_signatures_rowwise gates
+    shingle-less docs on the CHEAP precondition size(tokens) >= 3, not
+    on size(hs) > 0 — a filter on the derived hs column embeds the
+    whole shingle+md5 expression, and predicate pushdown re-anchors it
+    below any exchange a caller adds to parallelize the hashing (the
+    streaming LSH drain's repartition; 82 s of its 98 s 10× wall ran
+    single-core because of exactly this). Pin the shape on the batch
+    twin of the drain's plan: everything BELOW the repartition
+    exchange must be md5/shingle-free."""
+    from pyspark.sql import functions as F
+
+    from mapreducelearnings_spark.pipeline import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "ts", F.current_timestamp()
+    )
+    df = DD.band_signatures_rowwise(
+        docs.repartition(F.col("doc_id")), passthrough=("ts",)
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" in plan
+    # the subtree below the exchange: formatted mode lists operators
+    # leaf-first, so split on the Exchange detail header and look at
+    # everything before the repartition exchange's section
+    below = plan.split("REPARTITION_BY_COL")[0]
+    scan_and_filter = [
+        ln
+        for ln in below.splitlines()
+        if "Filter" in ln or "Scan" in ln or "Project" in ln
+    ]
+    # the pushed filter may tokenize (regexp) but must never hash
+    assert "md5" not in below.lower(), (
+        "signature hashing leaked below the repartition exchange — "
+        f"the pushed-down subtree is:\n{below}\n({scan_and_filter})"
+    )
+
+
+def test_embedding_nearest_scores_collisions_in_place(spark, sf_dir):
+    """Round-9 rewrite guard: dedup_embedding_nearest must NOT
+    deduplicate the candidate multiset before scoring — the DISTINCT
+    shuffles the Θ(n²/k) collision set (measured 252.7 s vs 18.5 s at
+    the 10× dir). The plan's only aggregate is the final per-vector
+    argmax (one partial+final pair — SortAggregate, since MAX over a
+    struct is sort-based), and the only shuffles are the bucket-key
+    join's two sides plus the argmax exchange."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "dedup_embedding_nearest")
+    # partial+final argmax = exactly 2 aggregate detail nodes;
+    # a DISTINCT over candidates would add 2 more
+    aggs = re.findall(r"\(\d+\) (?:Hash|Sort|ObjectHash)Aggregate", plan)
+    assert len(aggs) == 2, aggs
+    assert plan.count("- Exchange (") == 3
