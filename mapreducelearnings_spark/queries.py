@@ -6429,6 +6429,15 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 4-scale local evidence this round): dedup_embedding_nearest (the
 # bounded-output production near-dup variant, VERDICT r8 Next #3) and
 # bpe_merges_batched (the batched trainer, VERDICT r8 Next #6).
+# Round-9 EXECUTED evidence: full-registry sweeps exact-green at
+# sf0.001, sf0.01 AND the 3x dir (149/149 each); the 6 changed/new-
+# oracle entries (2 adds + 4 ANN migrations) additionally green at
+# sf0.1. dedup_embedding_nearest's oracle text changed once more
+# in-round (dropped the output ROUND(cos,4) — the sf0.1 sweep caught
+# the 6dp->4dp double-round landing on engine-divergent half-ties)
+# and its Spark side was rewritten to score collisions in place
+# (10x: 41x -> 1.8x); all four scales re-verified green on the FINAL
+# oracle+impl pair, so its r10 slot evidences exactly what ships.
 # Forecast: r10 = the 47 r7-greens (the 4 oracle-migrated entries are
 # among them) + the 2 r9 adds = 49 (1 spare). r11 = the 50 r8-greens.
 # Steady state ~49/50/50.

@@ -83,3 +83,43 @@ def test_coverage_index_cites_every_query():
     spec.loader.exec_module(mod)
     _, problems = mod.build_table()
     assert problems == []
+
+
+def test_sweep_record_merge_semantics(tmp_path, monkeypatch):
+    """SWEEPS.json merge rules (tools/check_oracles.record_sweep): a
+    deeper-scale pass supersedes a shallower pass and is NOT
+    overwritten by one; a FAIL always overwrites (stale green evidence
+    is worse than a visible red)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracles", "/root/repo/tools/check_oracles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "SWEEPS_PATH", str(tmp_path / "SWEEPS.json"))
+
+    mod.record_sweep({"q": True}, "/root/testdata/sf0.01")
+    mod.record_sweep({"q": True}, "/tmp/scale_smoke/sf0.3")
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"]["sf_dir"].endswith("sf0.3")
+
+    # a shallower PASS must not clobber the deeper pass
+    mod.record_sweep({"q": True}, "/root/testdata/sf0.001")
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"]["sf_dir"].endswith("sf0.3")
+
+    # a FAIL at any scale always lands
+    mod.record_sweep({"q": False}, "/root/testdata/sf0.001")
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"] == {
+        "sf_dir": "/root/testdata/sf0.001",
+        "ts": log["q"]["ts"],
+        "ok": False,
+    }
+
+    # and a subsequent pass recovers normally
+    mod.record_sweep({"q": True}, "/root/testdata/sf0.01")
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"]["ok"] and log["q"]["sf_dir"].endswith("sf0.01")

@@ -24,7 +24,7 @@ for name, fn in e.queries().items():
 print('plain-session probe: all queries ok')
 PY
 
-echo "== 3/4 pytest =="
+echo "== 3/4 pytest (incl. coverage-index lint) =="
 python -m pytest tests/ -q
 
 echo "== 4/4 bench (alone!) =="
