@@ -29,6 +29,11 @@ from ..functions import text as X
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
+# Shingle width shared by every MinHash path (and mirrored in the
+# DuckDB oracles' ts[i] || ts[i+1] || ts[i+2] shingling) — referenced
+# explicitly so the rowwise path's cheap pre-filter can never drift
+# from the shingler it guards.
+SHINGLE_N = 3
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,12 +91,12 @@ def band_signatures_rowwise(
     # 10x drain's 98 s wall, r9).
     toks = docs.select(
         "doc_id", *passthrough, X.tokens(text_col).alias("_toks")
-    ).where(F.size(F.col("_toks")) >= 3)
+    ).where(F.size(F.col("_toks")) >= SHINGLE_N)
     sh = toks.select(
         "doc_id",
         *passthrough,
         F.transform(
-            X.word_shingles(F.col("_toks")),
+            X.word_shingles(F.col("_toks"), SHINGLE_N),
             lambda s: X.md5_long(s) % X.MINHASH_M,
         ).alias("hs"),
     )
