@@ -1506,6 +1506,16 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
         .partitionBy("cell")
         .parquet(path)
     )
+    # The memoized corpus count is keyed by semanticHash, and the hash
+    # of spark.read.parquet(path) is UNCHANGED after files are appended
+    # at that path (ADVICE r9, verified empirically) — so a session that
+    # queried the index before the append would compute its auto rerank
+    # budget from the stale pre-append count, silently shrinking recall.
+    # Drop the entry so the next ann_index_topk re-counts the grown index.
+    try:
+        _CORPUS_SIZE_CACHE.pop(spark.read.parquet(path).semanticHash(), None)
+    except Exception:  # pragma: no cover - plan not hashable (connect etc.)
+        _CORPUS_SIZE_CACHE.clear()
 
 
 def ann_index_topk(

@@ -772,6 +772,30 @@ def test_ann_index_append_matches_rebuild(spark, sf_dir, tmp_path):
     assert inc_topk == full_topk and len(inc_topk) > 0
 
 
+def test_ann_index_append_invalidates_corpus_size_cache(
+    spark, sf_dir, tmp_path
+):
+    """The auto rerank budget counts the STORED index via a
+    semanticHash-memoized corpus_size — but spark.read.parquet(path)
+    hashes identically before and after files are appended at that
+    path (ADVICE r9), so the append must evict the entry or a
+    query-append-query session silently keeps the pre-append budget."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = max(SS.PQ_K, SS.IVF_CELLS, (3 * n) // 4)
+    path = str(tmp_path / "ann_index_cache")
+    SS.ann_index_write(emb.where(F.col("vec_id") < cut), path)
+    pre = SS.corpus_size(spark.read.parquet(path))  # primes the cache
+    assert pre == cut
+    SS.ann_index_append(spark, path, emb.where(F.col("vec_id") >= cut))
+    post = SS.corpus_size(spark.read.parquet(path))
+    assert post == n, (
+        f"stale cached corpus size after append: {post} (expected {n})"
+    )
+
+
 def test_ann_index_append_rejects_seed_range_ids(spark, sf_dir, tmp_path):
     """An append whose ids do not exceed the stored max (or would land
     inside the quantizer seed range) cannot be bit-identical to a
