@@ -115,6 +115,7 @@ def test_sweep_record_merge_semantics(tmp_path, monkeypatch):
     log = json.load(open(mod.SWEEPS_PATH))
     assert log["q"] == {
         "sf_dir": "/root/testdata/sf0.001",
+        "scale": 0.001,
         "ts": log["q"]["ts"],
         "ok": False,
     }
@@ -123,3 +124,30 @@ def test_sweep_record_merge_semantics(tmp_path, monkeypatch):
     mod.record_sweep({"q": True}, "/root/testdata/sf0.01")
     log = json.load(open(mod.SWEEPS_PATH))
     assert log["q"]["ok"] and log["q"]["sf_dir"].endswith("sf0.01")
+
+    # the scale_smoke naming convention is sf0.<INTEGER MULT> of the
+    # sf0.1 base — a decimal parse collapses 30x (sf0.30) onto 3x
+    # (sf0.3) and ranks 10x (sf0.10) below both (ADVICE r9); pin the
+    # disambiguation and that deep evidence survives shallower passes
+    assert mod.scale_of("/tmp/scale_smoke/sf0.30") == pytest.approx(3.0)
+    assert mod.scale_of("/tmp/scale_smoke/sf0.3") == pytest.approx(0.3)
+    assert mod.scale_of("/tmp/scale_smoke/sf0.10") == pytest.approx(1.0)
+    assert mod.scale_of("/root/testdata/sf0.01") == pytest.approx(0.01)
+
+    mod.record_sweep({"q": True}, "/tmp/scale_smoke/sf0.30")
+    mod.record_sweep({"q": True}, "/tmp/scale_smoke/sf0.3")  # 3x after 30x
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"]["sf_dir"].endswith("sf0.30"), (
+        "a 3x pass overwrote the 30x record"
+    )
+    mod.record_sweep({"q": True}, "/tmp/scale_smoke/sf0.10")  # 10x < 30x
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"]["sf_dir"].endswith("sf0.30")
+    assert log["q"]["scale"] == pytest.approx(3.0)
+
+    # legacy records without the numeric field fall back to scale_of
+    log["q"] = {"sf_dir": "/tmp/scale_smoke/sf0.30", "ts": "x", "ok": True}
+    json.dump(log, open(mod.SWEEPS_PATH, "w"))
+    mod.record_sweep({"q": True}, "/tmp/scale_smoke/sf0.3")
+    log = json.load(open(mod.SWEEPS_PATH))
+    assert log["q"]["sf_dir"].endswith("sf0.30")

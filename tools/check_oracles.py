@@ -28,22 +28,48 @@ sys.path.insert(0, "/root/repo")
 SWEEPS_PATH = "/root/repo/SWEEPS.json"
 
 
+def scale_of(d: str) -> float:
+    """Numeric scale of an sf dir — UNAMBIGUOUS across the two naming
+    conventions in play (ADVICE r9: a decimal parse maps the 30x smoke
+    dir sf0.30 and the 3x dir sf0.3 to the same 0.3, and sf0.10 (10x)
+    below both, so keep-deeper silently discarded deep evidence):
+
+    - tools/scale_smoke.py dirs are named sf0.<mult> under a
+      .../scale_smoke/ root and mean <mult> x the sf0.1 base, so the
+      digits after "sf0." are an INTEGER multiplier: sf0.30 -> 3.0,
+      sf0.10 -> 1.0, sf0.3 -> 0.3.
+    - driver fixture dirs (/root/testdata/sf0.01 etc.) are plain
+      decimal scale factors.
+    """
+    import re
+
+    d = d.rstrip("/")
+    base = d.rsplit("/", 1)[-1]
+    if "scale_smoke" in d:
+        m = re.fullmatch(r"sf0\.(\d+)", base)
+        if m:
+            return int(m.group(1)) * 0.1
+    m = re.search(r"sf([0-9.]+)", base)
+    try:
+        return float(m.group(1)) if m else 0.0
+    except ValueError:
+        return 0.0
+
+
 def record_sweep(results: dict[str, bool], sf_dir: str) -> None:
     """Merge this run's per-query pass/fail into SWEEPS.json. A deeper
     scale supersedes a shallower one only on pass; a FAIL always
-    overwrites (stale green evidence is worse than a visible red)."""
+    overwrites (stale green evidence is worse than a visible red).
+    Each record stores its numeric ``scale`` so the comparison never
+    re-parses an ambiguous dir name; records written before the field
+    existed fall back to :func:`scale_of` on their stored dir."""
     try:
         with open(SWEEPS_PATH) as f:
             log = json.load(f)
     except (OSError, json.JSONDecodeError):
         log = {}
-    def scale_of(d: str) -> float:
-        m = __import__("re").search(r"sf([0-9.]+)", d.rstrip("/").rsplit("/", 1)[-1])
-        try:
-            return float(m.group(1)) if m else 0.0
-        except ValueError:
-            return 0.0
 
+    scale = round(scale_of(sf_dir), 6)
     ts = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d")
     for name, ok in results.items():
         prev = log.get(name)
@@ -51,10 +77,10 @@ def record_sweep(results: dict[str, bool], sf_dir: str) -> None:
             ok
             and prev is not None
             and prev.get("ok")
-            and scale_of(prev.get("sf_dir", "")) > scale_of(sf_dir)
+            and prev.get("scale", scale_of(prev.get("sf_dir", ""))) > scale
         )
         if not keep_deeper:
-            log[name] = {"sf_dir": sf_dir, "ts": ts, "ok": ok}
+            log[name] = {"sf_dir": sf_dir, "scale": scale, "ts": ts, "ok": ok}
     tmp = SWEEPS_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(log, f, indent=1, sort_keys=True)
