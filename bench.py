@@ -169,13 +169,20 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "ann_pq_trained_topk",
     "similarity_topk_q8",
-    "dedup_embedding_cosine",
-    "dedup_embedding_clusters",
+    # round-10: the two output-quadratic enumeration twins
+    # (dedup_embedding_cosine/_clusters) moved to RETIRED — still
+    # oracle-checked every pytest run, no longer headline slots.
     # round-9: the bounded-output production near-dup (Θ(n) output,
-    # in-place collision scoring — the 100 TB form of the two
-    # enumeration twins above)
+    # in-place collision scoring — the 100 TB form of the retired
+    # enumeration twins)
     "dedup_embedding_nearest",
     "semdedup_keep",
+    # round-10: 8-bit PQ codebooks (the 30x code-resolution lever),
+    # FAISS-IVFPQ residual encoding, and the on-disk index
+    # build→append→query ingest chain
+    "ann_pq64_adc_topk",
+    "ann_ivf_pq64_residual_topk",
+    "ann_index_append_topk",
 ]
 
 # Python-EXECUTION surface twins, quarantined from the headline total
@@ -319,6 +326,14 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         # keep the historical pinned-constant budget for comparison.
         "ann_pq_adc_topk": recall(
             SS.pq_adc_topk(emb, n_queries=8, k=5).collect()
+        ),
+        # round-10: 8-bit codebooks (64-bit codes) — the code-resolution
+        # lever past the 32-bit ceiling measured at 30x
+        "ann_pq64_adc_topk": recall(
+            SS.pq_adc_topk(emb, n_queries=8, k=5, pq_k=SS.PQ_K64).collect()
+        ),
+        "ann_ivf_pq64_residual_topk": recall(
+            SS.ivf_pq_residual_topk(emb, n_queries=8, k=5).collect()
         ),
         "ann_ivf_hamming_topk": recall(
             SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()

@@ -771,44 +771,58 @@ def hamming_ann_topk(
 PQ_M = 8          # subspaces
 PQ_DSUB = DIMS // PQ_M
 PQ_K = 16         # codes per subspace (4 bits) → 8×4 = 32-bit PQ code
+# 8 bits per subspace → 8×8 = 64-bit codes: the CODE-RESOLUTION lever
+# the round-9 30× recall measurement named (PERFORMANCE.md "30× recall":
+# a 32-bit code cannot order within a ~3 000-member cluster, so recall
+# needs R ≈ cluster size; more bits re-separate the cluster interior
+# while the rerank budget stays log-n).
+PQ_K64 = 256
 PQ_RERANK_MULT = 16
 
 
-def pq_codebooks(embeddings: DataFrame) -> DataFrame:
+def pq_codebooks(
+    embeddings: DataFrame, pq_k: int = PQ_K, pq_m: int = PQ_M
+) -> DataFrame:
     """(m, code, ce): per-subspace codebooks, sampled deterministically
-    (subvectors of the first PQ_K vec_ids — the same reproducible-init
-    convention as the IVF quantizer; Lloyd refinement per subspace plugs
-    in via lloyd_train on the sliced columns). PQ_M·PQ_K = 128 tiny rows
-    collected through the k-row control channel and broadcast."""
-    return codebooks_from_normed(_emb_normed(embeddings))
+    (subvectors of the first ``pq_k`` vec_ids — the same
+    reproducible-init convention as the IVF quantizer; Lloyd refinement
+    per subspace plugs in via lloyd_train on the sliced columns).
+    PQ_M·pq_k tiny rows (128 at the 4-bit default, 2 048 at the 8-bit
+    :data:`PQ_K64`) collected through the k-row control channel and
+    broadcast."""
+    return codebooks_from_normed(_emb_normed(embeddings), pq_k, pq_m)
 
 
-def codebooks_from_normed(normed: DataFrame) -> DataFrame:
+def codebooks_from_normed(
+    normed: DataFrame, pq_k: int = PQ_K, pq_m: int = PQ_M
+) -> DataFrame:
     """:func:`pq_codebooks` over an already-normalized (vec_id, ne)
     frame — the form :func:`ann_index_append` needs, since the stored
     index carries unit vectors, not raw embeddings."""
     spark = normed.sparkSession
     rows = (
         normed
-        .where(F.col("vec_id") < PQ_K)
+        .where(F.col("vec_id") < pq_k)
         .select("vec_id", "ne")
         .collect()
     )
+    dsub = DIMS // pq_m
     data = [
         (
             m,
             int(r["vec_id"]),
-            [float(x) for x in r["ne"][m * PQ_DSUB : (m + 1) * PQ_DSUB]],
+            [float(x) for x in r["ne"][m * dsub : (m + 1) * dsub]],
         )
         for r in rows
-        for m in range(PQ_M)
+        for m in range(pq_m)
     ]
     return spark.createDataFrame(data, "m long, code long, ce array<double>")
 
 
-def _pq_subvectors(emb_normed: DataFrame) -> DataFrame:
-    """(vec_id, m, sub): every vector exploded into its PQ_M subspace
+def _pq_subvectors(emb_normed: DataFrame, pq_m: int = PQ_M) -> DataFrame:
+    """(vec_id, m, sub): every vector exploded into its pq_m subspace
     slices — map-side expand, no shuffle."""
+    dsub = DIMS // pq_m
     return emb_normed.select(
         "vec_id",
         F.explode(
@@ -816,24 +830,26 @@ def _pq_subvectors(emb_normed: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(m).alias("m"),
-                        F.slice(F.col("ne"), m * PQ_DSUB + 1, PQ_DSUB).alias(
+                        F.slice(F.col("ne"), m * dsub + 1, dsub).alias(
                             "sub"
                         ),
                     )
-                    for m in range(PQ_M)
+                    for m in range(pq_m)
                 ]
             )
         ).alias("ms"),
     ).select("vec_id", F.col("ms.m").alias("m"), F.col("ms.sub").alias("sub"))
 
 
-def pq_encode(emb_normed: DataFrame, cb: DataFrame) -> DataFrame:
+def pq_encode(
+    emb_normed: DataFrame, cb: DataFrame, pq_m: int = PQ_M
+) -> DataFrame:
     """(vec_id, m, code): each vector's nearest codebook entry per
     subspace, d² expressed as dot(s,s) − 2·dot(s,c) + dot(c,c) — only
     list_dot_product-equivalent folds, so the value is bit-identical to
     the SQL oracle (ties → smallest code). Partial max_by aggregation
     shrinks the 16-candidate product before the shuffle."""
-    subs = _pq_subvectors(emb_normed)
+    subs = _pq_subvectors(emb_normed, pq_m)
     j = subs.join(F.broadcast(cb), "m")
     d2 = (
         V.dot(F.col("sub"), F.col("sub"))
@@ -908,6 +924,8 @@ def pq_adc_topk(
     rerank_mult: int | None = None,
     trained_rounds: int = 0,
     train_sample_mod: int | None = None,
+    pq_k: int = PQ_K,
+    pq_m: int = PQ_M,
 ) -> DataFrame:
     """Product-quantization ANN with Asymmetric Distance Computation:
     the corpus is stored as 32-bit PQ codes (8 subspaces × 4 bits —
@@ -937,16 +955,29 @@ def pq_adc_topk(
     the auto-scaled Hamming path held — an absolute budget decays for
     ADC exactly as it did for sign bits. Since the r9 oracle migration
     the registry entries run this auto path, with the oracle computing
-    the identical rule as a scalar subquery."""
+    the identical rule as a scalar subquery.
+
+    ``pq_k`` sets the codes per subspace — the CODE-RESOLUTION lever
+    (PERFORMANCE.md "30× recall"): the 4-bit default (:data:`PQ_K`,
+    32-bit codes) hits a measured recall ceiling once a single cluster
+    outgrows the rerank budget; :data:`PQ_K64` (8 bits, 64-bit codes)
+    re-separates cluster interiors at 2× the stored bits while the
+    codebook stays a 2 048-row broadcast and every downstream plan
+    shape is unchanged."""
+    if trained_rounds and (pq_k != PQ_K or pq_m != PQ_M):
+        raise ValueError(
+            "trained_rounds uses the PQ_K/PQ_M default geometry; "
+            "pq_k/pq_m apply to the sampled-codebook path only"
+        )
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     emb = _emb_normed(embeddings)
     cb = (
         pq_train(embeddings, trained_rounds, sample_mod=train_sample_mod)
         if trained_rounds
-        else pq_codebooks(embeddings)
+        else pq_codebooks(embeddings, pq_k, pq_m)
     )
-    ec = pq_encode(emb, cb)
+    ec = pq_encode(emb, cb, pq_m)
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")
     )
@@ -958,7 +989,11 @@ def pq_adc_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             V.dot(
-                F.slice(F.col("qe"), F.col("m") * PQ_DSUB + 1, F.lit(PQ_DSUB)),
+                F.slice(
+                    F.col("qe"),
+                    F.col("m") * (DIMS // pq_m) + 1,
+                    F.lit(DIMS // pq_m),
+                ),
                 F.col("ce"),
             ).alias("ps"),
         )
@@ -1302,6 +1337,7 @@ def ivf_pq_topk(
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
     rerank_mult: int | None = None,
+    pq_k: int = PQ_K,
 ) -> DataFrame:
     """IVF × PQ-ADC COMPOSITION — the FAISS ``IVFPQ`` read path, the
     standard billion-scale ANN index shape: candidates are pruned to
@@ -1334,7 +1370,7 @@ def ivf_pq_topk(
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     embn = _emb_normed(embeddings)
     assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
-    cb = pq_codebooks(embeddings)
+    cb = pq_codebooks(embeddings, pq_k)
     codes = pq_encode(embn, cb).join(
         assigned.select("vec_id", "cell"), "vec_id"
     )  # (vec_id, m, code, cell)
@@ -1368,6 +1404,123 @@ def ivf_pq_topk(
     )
     approx = part.groupBy("query_id", "neighbor_id").agg(
         F.round(F.sum("ps"), 6).alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .where(F.col("ar") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    c = embn.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qe"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+    rerank_mult: int | None = None,
+    pq_k: int = PQ_K64,
+    pq_m: int = PQ_M,
+) -> DataFrame:
+    """IVF × PQ with RESIDUAL encoding — FAISS ``IVFPQ``'s
+    ``encode_residual`` mode, and the lever that actually restores
+    recall at 30× where absolute-position code resolution saturates
+    (PERFORMANCE.md "30× recall, revisited": 32-bit absolute codes
+    0.325, 64-bit 0.725, 128-bit 0.700 — more bits stop helping
+    because the codebook still spends them on WHERE clusters are, not
+    on ordering WITHIN one).
+
+    PQ here encodes the residual r = v − centroid(cell(v)): every
+    vector in a cell shares the centroid, so all ``pq_k`` codes per
+    subspace resolve the within-cluster noise ball — exactly the
+    signal the true top-5 hide in on a density-concentrated corpus.
+    The ADC estimate becomes ⟨q, c + r̂⟩ = ⟨q, c_cell⟩ + Σ_m ⟨q_m, e_m⟩,
+    and ⟨q, c_cell⟩ is already computed by the probe ranking — the
+    residual upgrade costs ONE extra broadcast join at encode time and
+    nothing at scan time.
+
+    Scale shape: identical to :func:`ivf_pq_topk` — centroids and
+    codebooks are broadcast control rows, encoding is one partial-agg
+    argmin at ingest, the scan reads n_probes/n_cells of a
+    cell-bucketed corpus and exact math touches R rows per query.
+    ``rerank_mult=None`` auto-scales R with corpus size (shared
+    :func:`hamming_auto_mult` rule); residuals subtract in IEEE order
+    identically in both engines and ADC sums are rounded 6 dp before
+    ranking, so the result is fully oracle-checked like the rest of
+    the ANN ladder."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(corpus_size(embeddings))
+    dsub = DIMS // pq_m
+    embn = _emb_normed(embeddings)
+    assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
+    cent = embn.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("ne").alias("ce")
+    )
+    resid = assigned.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        F.zip_with("ne", "ce", lambda a, b: a - b).alias("ne"),
+    )
+    cb = codebooks_from_normed(resid.select("vec_id", "ne"), pq_k, pq_m)
+    codes = pq_encode(resid.select("vec_id", "ne"), cb, pq_m).join(
+        assigned.select("vec_id", "cell"), "vec_id"
+    )
+    q = embn.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")
+    )
+    qs = q.crossJoin(
+        F.broadcast(cent.select(F.col("cell").alias("cid"), "ce"))
+    ).select(
+        "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    qprobe = (
+        qs.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select(
+            "query_id", "qe", F.col("cid").cast("long").alias("cell"), "cs"
+        )
+    )
+    part = (
+        codes.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(cb), ["m", "code"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cs",
+            V.dot(
+                F.slice(F.col("qe"), F.col("m") * dsub + 1, F.lit(dsub)),
+                F.col("ce"),
+            ).alias("ps"),
+        )
+    )
+    # cs is constant within a (query, neighbor) group (one cell per
+    # vector); MAX picks it deterministically without widening the key
+    approx = part.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.max("cs") + F.sum("ps"), 6).alias("adc")
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = (

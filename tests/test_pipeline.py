@@ -14,7 +14,7 @@ from mapreducelearnings_spark.pipeline import dedup as DD
 from mapreducelearnings_spark.pipeline import multimodal as MM
 from mapreducelearnings_spark.pipeline import simsearch as SS
 from mapreducelearnings_spark.pipeline import textstats as TS
-from mapreducelearnings_spark.queries import REGISTRY
+from mapreducelearnings_spark.queries import REGISTRY, RETIRED
 from mapreducelearnings_spark.streaming import windows as SW
 
 
@@ -310,7 +310,8 @@ def test_embedding_clusters_group_every_pair(spark, sf_dir):
     assert pairs, "fixture should contain cos>=0.4 pairs"
     cc = {
         r["vec_id"]: r["cluster_id"]
-        for r in REGISTRY["dedup_embedding_clusters"]
+        for r in (REGISTRY.get("dedup_embedding_clusters")
+                  or RETIRED["dedup_embedding_clusters"])
         .spark(spark, sf_dir)
         .collect()
     }

@@ -54,6 +54,9 @@ BNLJ_BOUNDED_ALLOWLIST = frozenset(
         "ann_ivf_topk", "ann_ivf_trained_topk", "ann_hamming_topk",
         "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_ivf_hamming_topk",
         "ann_ivf_pq_topk",
+        # round-10: same k-row broadcast probe/centroid idiom
+        "ann_pq64_adc_topk", "ann_ivf_pq64_residual_topk",
+        "ann_index_append_topk",
     }
 )
 

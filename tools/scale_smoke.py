@@ -71,6 +71,11 @@ HEAVY = [
     # Θ(n) output) + the batched BPE trainer
     "dedup_embedding_nearest",
     "bpe_merges_batched",
+    # round-10 adds: 8-bit PQ codebooks (code-resolution lever) + the
+    # on-disk index build→append→query ingest chain
+    "ann_pq64_adc_topk",
+    "ann_ivf_pq64_residual_topk",
+    "ann_index_append_topk",
 ]
 
 
@@ -175,14 +180,14 @@ def main() -> None:
     build_scaled_dir(scaled, mult)
 
     from mapreducelearnings_spark.session import get_spark
-    from mapreducelearnings_spark.queries import REGISTRY
+    from mapreducelearnings_spark.queries import REGISTRY, RETIRED
 
     spark = get_spark("scale_smoke", shuffle_partitions=32)
     results: dict[str, dict] = {}
     for name in HEAVY:
         if only and name not in only:
             continue
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name) or RETIRED[name]
         row = {}
         for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
             spark.catalog.clearCache()
