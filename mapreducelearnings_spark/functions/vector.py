@@ -62,3 +62,19 @@ def normalize_with(a: Column, norm_col: Column) -> Column:
     inline: expressions captured in HOF lambdas re-evaluate per element,
     which would recompute the fold d times per row."""
     return F.transform(a, lambda x: x / norm_col)
+
+
+def dot_fixed(a: Column, b: Column, dims: int) -> Column:
+    """:func:`dot` with a STATICALLY KNOWN length, unrolled into a
+    left-to-right codegen add chain: a[0]·b[0] + a[1]·b[1] + … — the
+    exact same IEEE addition order as the fold (the fold's leading
+    0.0 + p₀ is exact), hence bit-identical results, but whole-stage
+    codegen instead of per-row fold interpretation. Lesson 5 applied
+    to the PQ encode/ADC hot paths: use this where the dot runs per
+    CANDIDATE row (n×m×k encode argmin, ADC scans); keep the compact
+    fold where volume is linear and plan width matters (Lesson 6)."""
+    acc = None
+    for i in range(dims):
+        term = a.getItem(i) * b.getItem(i)
+        acc = term if acc is None else acc + term
+    return acc

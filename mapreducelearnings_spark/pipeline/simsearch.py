@@ -851,10 +851,11 @@ def pq_encode(
     shrinks the 16-candidate product before the shuffle."""
     subs = _pq_subvectors(emb_normed, pq_m)
     j = subs.join(F.broadcast(cb), "m")
+    dsub = DIMS // pq_m
     d2 = (
-        V.dot(F.col("sub"), F.col("sub"))
-        - 2 * V.dot(F.col("sub"), F.col("ce"))
-        + V.dot(F.col("ce"), F.col("ce"))
+        V.dot_fixed(F.col("sub"), F.col("sub"), dsub)
+        - 2 * V.dot_fixed(F.col("sub"), F.col("ce"), dsub)
+        + V.dot_fixed(F.col("ce"), F.col("ce"), dsub)
     )
     return (
         j.groupBy("vec_id", "m")
@@ -988,13 +989,14 @@ def pq_adc_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.dot(
+            V.dot_fixed(
                 F.slice(
                     F.col("qe"),
                     F.col("m") * (DIMS // pq_m) + 1,
                     F.lit(DIMS // pq_m),
                 ),
                 F.col("ce"),
+                DIMS // pq_m,
             ).alias("ps"),
         )
     )
@@ -1396,9 +1398,10 @@ def ivf_pq_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.dot(
+            V.dot_fixed(
                 F.slice(F.col("qe"), F.col("m") * PQ_DSUB + 1, F.lit(PQ_DSUB)),
                 F.col("ce"),
+                PQ_DSUB,
             ).alias("ps"),
         )
     )
@@ -1511,9 +1514,10 @@ def ivf_pq_residual_topk(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "cs",
-            V.dot(
+            V.dot_fixed(
                 F.slice(F.col("qe"), F.col("m") * dsub + 1, F.lit(dsub)),
                 F.col("ce"),
+                dsub,
             ).alias("ps"),
         )
     )
@@ -1560,9 +1564,12 @@ def ivf_pq_residual_topk(
 def ann_index_write(embeddings: DataFrame, path: str) -> None:
     """Materialize the production ANN index on disk: one parquet
     dataset partitioned by IVF cell, each row carrying the unit vector
-    (exact rerank), its 8×4-bit PQ code array (ADC pre-rank) and its
-    64-bit sign signature (Hamming pre-rank) — every compressed
-    representation the query ladder needs, computed ONCE at ingest.
+    (exact rerank), its 8×4-bit PQ code array (ADC pre-rank), its
+    RESIDUAL 8×8-bit PQ code array (the round-10 production default —
+    PERFORMANCE.md "30× recall, revisited": residual codes beat every
+    absolute-code width at equal budget) and its 64-bit sign signature
+    (Hamming pre-rank) — every compressed representation the query
+    ladder needs, computed ONCE at ingest.
 
     At 100 TB this is the ingest job: assignment is the broadcast
     argmax (one partial-agg shuffle), encoding one more, and the
@@ -1574,34 +1581,68 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
     embn = _emb_normed(embeddings)
     assigned = ivf_assign(embeddings)  # (vec_id, cell, ne)
     cb = pq_codebooks(embeddings)
+    cent = embn.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("ne").alias("ce")
+    )
+    rcb = _residual_codebooks(assigned, cent)
     (
-        _index_rows(embn, assigned, cb)
+        _index_rows(embn, assigned, cb, cent, rcb)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )
 
 
-def _index_rows(embn: DataFrame, assigned: DataFrame, cb: DataFrame) -> DataFrame:
-    """The stored row shape (vec_id, ne, pq_code, slo, shi, cell) from
-    a normalized frame, its cell assignment and the codebooks — shared
-    by the full build and the incremental append so both write
-    bit-identical rows."""
-    codes = (
-        pq_encode(embn, cb)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "code"))),
-                lambda x: x["code"],
-            ).alias("pq_code")
-        )
+def _residual_frame(assigned: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, ne): each vector's residual against its cell centroid —
+    the frame the residual codebook/encode pipeline consumes. ``cent``
+    is the (cell, ce) centroid frame (k rows, broadcast)."""
+    return assigned.join(F.broadcast(cent), "cell").select(
+        "vec_id", F.zip_with("ne", "ce", lambda a, b: a - b).alias("ne")
+    )
+
+
+def _residual_codebooks(assigned: DataFrame, cent: DataFrame) -> DataFrame:
+    """Residual 8×:data:`PQ_K64` codebooks from the deterministic
+    first-:data:`PQ_K64`-ids sample of residuals — the quantizer the
+    stored ``rq_code`` column is encoded with, reconstructible from the
+    stored index rows alone (ne, cell → residual)."""
+    return codebooks_from_normed(_residual_frame(assigned, cent), PQ_K64)
+
+
+def _pack_codes(enc: DataFrame, colname: str) -> DataFrame:
+    """(vec_id, <colname>): per-vector code array from a (vec_id, m,
+    code) encode frame — m-sorted so the array layout is deterministic."""
+    return enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda x: x["code"],
+        ).alias(colname)
+    )
+
+
+def _index_rows(
+    embn: DataFrame,
+    assigned: DataFrame,
+    cb: DataFrame,
+    cent: DataFrame,
+    rcb: DataFrame,
+) -> DataFrame:
+    """The stored row shape (vec_id, ne, pq_code, rq_code, slo, shi,
+    cell) from a normalized frame, its cell assignment and both
+    codebooks (absolute 8×16 and residual 8×256) — shared by the full
+    build and the incremental append so both write bit-identical
+    rows."""
+    codes = _pack_codes(pq_encode(embn, cb), "pq_code")
+    rcodes = _pack_codes(
+        pq_encode(_residual_frame(assigned, cent), rcb), "rq_code"
     )
     lo, hi = _sign_sig_cols(F.col("ne"))
-    return assigned.join(codes, "vec_id").select(
+    return assigned.join(codes, "vec_id").join(rcodes, "vec_id").select(
         "vec_id",
         "ne",
         "pq_code",
+        "rq_code",
         lo.alias("slo"),
         hi.alias("shi"),
         "cell",
@@ -1640,7 +1681,7 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     new_min = new_embeddings.agg(F.min("vec_id")).first()[0]
     if new_min is None:
         return  # empty batch: nothing to append
-    floor = max(stored_max, IVF_CELLS - 1, PQ_K - 1)
+    floor = max(stored_max, IVF_CELLS - 1, PQ_K - 1, PQ_K64 - 1)
     if new_min <= floor:
         raise ValueError(
             f"append batch min vec_id {new_min} <= {floor}: ids must "
@@ -1651,10 +1692,15 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
     )
     cb = codebooks_from_normed(stored)
+    # residual quantizer, also from the stored rows alone: residual of
+    # each seed row against its STORED cell centroid
+    stored_cells = spark.read.parquet(path).select("vec_id", "ne", "cell")
+    cent_cells = cent.select(F.col("cid").alias("cell"), "ce")
+    rcb = _residual_codebooks(stored_cells, cent_cells)
     newn = _emb_normed(new_embeddings)
     assigned = _assign_cells(newn, cent)
     (
-        _index_rows(newn, assigned, cb)
+        _index_rows(newn, assigned, cb, cent_cells, rcb)
         .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
@@ -1733,14 +1779,120 @@ def ann_index_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.dot(
+            V.dot_fixed(
                 F.slice(F.col("qe"), F.col("m") * PQ_DSUB + 1, F.lit(PQ_DSUB)),
                 F.col("ce"),
+                PQ_DSUB,
             ).alias("ps"),
         )
     )
     approx = part.groupBy("query_id", "neighbor_id").agg(
         F.round(F.sum("ps"), 6).alias("adc")
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    cand = (
+        approx.withColumn("ar", F.row_number().over(wa))
+        .where(F.col("ar") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    c = idx.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.dot(F.col("qe"), F.col("cemb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ann_index_residual_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+    rerank_mult: int | None = None,
+    pq_m: int = PQ_M,
+) -> DataFrame:
+    """Query the on-disk index through its RESIDUAL code column — the
+    round-10 production default (PERFORMANCE.md "30× recall,
+    revisited": residual codes beat every absolute-code width at equal
+    budget and halve the exact-rerank fraction needed for full
+    recall). Fully self-contained on the stored index: centroids are
+    the stored unit vectors of vec_id < n_cells, the residual codebook
+    is re-derived from the stored (ne, cell) of the first
+    :data:`PQ_K64` rows — the same reconstruction the append path
+    performs, so build, append and query all agree bit-for-bit.
+    Results are bit-identical to the in-memory
+    :func:`ivf_pq_residual_topk` (pytest-pinned) while reading
+    n_probes/n_cells of the dataset via partition pruning."""
+    if rerank_mult is None:
+        rerank_mult = hamming_auto_mult(corpus_size(spark.read.parquet(path)))
+    dsub = DIMS // pq_m
+    stored = spark.read.parquet(path)
+    cent = stored.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    rcb = _residual_codebooks(
+        stored.select("vec_id", "ne", "cell"),
+        cent.select(F.col("cid").alias("cell"), "ce"),
+    )
+    embn = _emb_normed(embeddings)
+    q = embn.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    qprobe = (
+        qs.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select(
+            "query_id", "qe", F.col("cid").cast("long").alias("cell"), "cs"
+        )
+    )
+    probe_cells = sorted(
+        {r["cell"] for r in qprobe.select("cell").distinct().collect()}
+    )
+    idx = stored.where(F.col("cell").isin(probe_cells))
+    part = (
+        idx.select(
+            "vec_id",
+            "cell",
+            F.posexplode("rq_code").alias("m", "code"),
+        )
+        .join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(rcb), ["m", "code"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cs",
+            V.dot_fixed(
+                F.slice(F.col("qe"), F.col("m") * dsub + 1, F.lit(dsub)),
+                F.col("ce"),
+                dsub,
+            ).alias("ps"),
+        )
+    )
+    approx = part.groupBy("query_id", "neighbor_id").agg(
+        F.round(F.max("cs") + F.sum("ps"), 6).alias("adc")
     )
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = (

@@ -750,6 +750,7 @@ def test_ann_index_append_matches_rebuild(spark, sf_dir, tmp_path):
                 r["vec_id"],
                 tuple(r["ne"]),
                 tuple(r["pq_code"]),
+                tuple(r["rq_code"]),
                 r["slo"],
                 r["shi"],
                 r["cell"],
@@ -771,6 +772,46 @@ def test_ann_index_append_matches_rebuild(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert inc_topk == full_topk and len(inc_topk) > 0
+    # the residual read path agrees across append vs rebuild too
+    inc_res = {
+        tuple(r)
+        for r in SS.ann_index_residual_topk(
+            spark, inc_path, emb, n_queries=4, k=5
+        ).collect()
+    }
+    full_res = {
+        tuple(r)
+        for r in SS.ann_index_residual_topk(
+            spark, full_path, emb, n_queries=4, k=5
+        ).collect()
+    }
+    assert inc_res == full_res and len(inc_res) > 0
+
+
+def test_ann_index_residual_roundtrip_matches_in_memory(
+    spark, sf_dir, tmp_path
+):
+    """The stored rq_code column + the codebook re-derived from the
+    stored rows must return BIT-IDENTICAL top-k to the in-memory
+    residual composition — build, store and query agree on the
+    residual quantizer."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index_res")
+    SS.ann_index_write(emb, path)
+    on_disk = {
+        tuple(r)
+        for r in SS.ann_index_residual_topk(
+            spark, path, emb, n_queries=4, k=5
+        ).collect()
+    }
+    in_mem = {
+        tuple(r)
+        for r in SS.ivf_pq_residual_topk(emb, n_queries=4, k=5).collect()
+    }
+    assert on_disk == in_mem
+    assert len(on_disk) > 0
 
 
 def test_ann_index_append_invalidates_corpus_size_cache(
