@@ -155,11 +155,11 @@ HEADLINE = [
     # with zero code change — VERDICT r03 "What's wrong #3"). Running it
     # after every narrow query removes that contamination channel.
     "similarity_topk",
-    # ann_lsh_topk_single_baseline retired from the registry (r8): its
-    # recall@5 floor is still reported in the "recall" block below via a
-    # direct simsearch call, it just no longer occupies a timed headline
-    # slot or a driver correctness slot.
-    "ann_lsh_topk_multi",
+    # ann_lsh_topk_single_baseline (r8) and ann_lsh_topk_multi (r10,
+    # strict subset of multiprobe) retired from the registry: their
+    # recall@5 is still reported in the "recall" block below via direct
+    # simsearch calls, they just no longer occupy timed headline slots
+    # or driver correctness slots.
     "ann_lsh_topk_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
