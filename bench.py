@@ -72,6 +72,7 @@ HEADLINE = [
     "stratified_sample",
     "decontamination",
     "distinct_users_per_type",
+    "distinct_kmv_sketch",
     "token_counts_bpe",
     "token_doc_frequency",
     "bpe_merges",

@@ -3052,6 +3052,64 @@ def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .functions import sketch as KMV  # noqa: E402
+
+
+@register(
+    "distinct_kmv_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS u
+      FROM events),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM h),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+             MAX(u) AS umax
+      FROM r WHERE rn <= {KMV.KMV_K} GROUP BY event_type),
+    x AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type)
+    SELECT s.event_type, s.sketch_size,
+           CASE WHEN s.sketch_size < {KMV.KMV_K}
+                THEN CAST(s.sketch_size AS DOUBLE)
+                ELSE FLOOR(({float(KMV.KMV_K - 1)} * {float(KMV.KMV_HASH_BASE)}
+                            / CAST(s.umax + 1 AS DOUBLE)) * 10000 + 0.5)
+                     / 10000
+           END AS est_distinct,
+           x.n_exact
+    FROM s JOIN x USING (event_type)
+    """,
+    doc="Mergeable KMV distinct-count sketch (Bar-Yossef et al. "
+    "RANDOM'02; the theta-sketch family's simplest member) — the 100 TB "
+    "substitute for the exact expand/aggregate COUNT DISTINCT of "
+    "distinct_users_per_type. Unlike Spark's HLL "
+    "(approx_count_distinct), the KMV estimate is one arithmetic "
+    "expression over the k smallest md5-derived hashes, so it is "
+    "bit-identical across engines and can sit in the driver's "
+    "hash-compared gate. Sketch build is one distinct shuffle + a "
+    "SALTED two-level per-group top-k (no single task sorts a hot "
+    "group); sketches merge exactly (union → re-rank k; "
+    "pytest-pinned associative/idempotent). n_exact is the test-scale "
+    "error exhibit — production ships only the k-row state. At the "
+    "smoke scale every group has < k distinct users, so the "
+    "sketch-not-full exact branch is the one exercised; sf0.01 and up "
+    "exercise the estimator branch.",
+)
+def q_distinct_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = KMV.kmv_sketch(ev, "event_type", "user_id")
+    est = KMV.kmv_estimate(sk, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return est.join(exact, "event_type")
+
+
 # ===========================================================================
 # As-of join + JSON extraction
 # ===========================================================================
@@ -6646,7 +6704,10 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     all with 4-scale local oracle evidence recorded this round
 #     (sf0.001 / sf0.01 / sf0.1 / 3x).
 # 44 + 1 + 2 + 3 = 50, a full window.
-# Forecast: r11 = the 49 remaining r8-greens (ann_ivf_pq_topk was
+# Forecast: r11 = the 49 remaining r8-greens + distinct_kmv_sketch
+# (the r10 mid-round add, rule 2 — it takes the spare slot).
+# Previous forecast text kept for the audit trail:
+# r11 = the 49 remaining r8-greens (ann_ivf_pq_topk was
 # refreshed here) + 1 spare; r12 = the 50 r9-greens.
 # ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
@@ -6715,6 +6776,11 @@ _TAIL = [
     "semi_join", "broadcast_join", "two_hop_paths", "top_k", "union_reagg",
     "pagerank_idfilter", "sssp_distances", "sssp_paths", "triangle_count",
     "kmeans_centroids", "dedup_exact", "simhash_fingerprints",
+    # r10 mid-round add (no driver row yet): 4-scale local oracle
+    # evidence recorded this round (SWEEPS.json); takes the r11 spare
+    # slot the forecast reserved (rule 2 — never-driver-checked entries
+    # enter the next window).
+    "distinct_kmv_sketch",
 ]
 
 

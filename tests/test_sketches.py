@@ -132,3 +132,51 @@ def test_approx_top_k_matches_exact_on_small_domain(spark, sf_dir, duck):
         "GROUP BY 1 ORDER BY c DESC, event_type LIMIT 3"
     ).fetchall()
     assert [(i, c) for i, c in got] == [(i, int(c)) for i, c in exact]
+
+
+def test_kmv_sketch_merge_is_exact(spark, sf_dir):
+    """KMV is the one sketch in the family whose estimate IS
+    cross-engine deterministic (md5-derived hashes, one IEEE division),
+    so unlike HLL it carries a full value oracle (query
+    `distinct_kmv_sketch`). What the oracle can't see is the MERGE
+    algebra — the property that makes it a sketch at all. Pin it:
+    merging the sketches of two disjoint halves equals the sketch of
+    the whole, exactly (associativity/idempotence of union→re-rank-k),
+    and estimates follow."""
+    from mapreducelearnings_spark.functions import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    a = SK.kmv_sketch(ev.where(F.col("event_id") % 2 == 0), "event_type", "user_id")
+    b = SK.kmv_sketch(ev.where(F.col("event_id") % 2 == 1), "event_type", "user_id")
+    merged = SK.kmv_merge(a, b, "event_type")
+    whole = SK.kmv_sketch(ev, "event_type", "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # idempotence: merging a sketch with itself is the sketch
+    self_merged = SK.kmv_merge(a, a, "event_type")
+    assert sorted(map(tuple, self_merged.collect())) == sorted(
+        map(tuple, a.collect())
+    )
+
+
+def test_kmv_estimate_error_and_salt_invariance(spark):
+    """Estimator contract on a domain big enough to fill the sketch
+    (k=64): |est - n| within 4 standard errors (SE = 1/sqrt(k-2)), and
+    the salted two-level top-k is an implementation detail — any
+    salt_mod yields the identical sketch."""
+    from mapreducelearnings_spark.functions import sketch as SK
+
+    n = 5000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sk8 = SK.kmv_sketch(df, "g", "v", salt_mod=8)
+    sk1 = SK.kmv_sketch(df, "g", "v", salt_mod=1)
+    assert sorted(r["u"] for r in sk8.collect()) == sorted(
+        r["u"] for r in sk1.collect()
+    )
+    est = SK.kmv_estimate(sk8, "g").collect()[0]
+    assert est["sketch_size"] == SK.KMV_K
+    se = 1.0 / (SK.KMV_K - 2) ** 0.5
+    assert abs(est["est_distinct"] - n) <= 4 * se * n
