@@ -1578,19 +1578,30 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
     opens the other cells' files (asserted in
     tests/test_pipeline.py::test_ann_index_query_prunes_partitions).
     """
-    embn = _emb_normed(embeddings)
-    assigned = ivf_assign(embeddings)  # (vec_id, cell, ne)
-    cb = pq_codebooks(embeddings)
-    cent = embn.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("ne").alias("ce")
+    # The ingest job reads embn/assigned from FIVE consumers (two k-row
+    # quantizer collects, two full encode aggregations, the final join)
+    # — persist them for the job's duration so the scan + normalize +
+    # broadcast-argmax subtrees run once, not once per consumer. At
+    # 100 TB this is the standard ingest discipline: the persisted
+    # frames are ∝ corpus (the job's own input), released on return.
+    embn = _emb_normed(embeddings).persist()
+    cent_cid = embn.where(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
     )
-    rcb = _residual_codebooks(assigned, cent)
-    (
-        _index_rows(embn, assigned, cb, cent, rcb)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    assigned = _assign_cells(embn, cent_cid).persist()  # (vec_id, cell, ne)
+    try:
+        cb = codebooks_from_normed(embn)
+        cent = cent_cid.select(F.col("cid").alias("cell"), "ce")
+        rcb = _residual_codebooks(assigned, cent)
+        (
+            _index_rows(embn, assigned, cb, cent, rcb)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    finally:
+        assigned.unpersist()
+        embn.unpersist()
 
 
 def _residual_frame(assigned: DataFrame, cent: DataFrame) -> DataFrame:
@@ -1697,14 +1708,22 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     stored_cells = spark.read.parquet(path).select("vec_id", "ne", "cell")
     cent_cells = cent.select(F.col("cid").alias("cell"), "ce")
     rcb = _residual_codebooks(stored_cells, cent_cells)
-    newn = _emb_normed(new_embeddings)
-    assigned = _assign_cells(newn, cent)
-    (
-        _index_rows(newn, assigned, cb, cent_cells, rcb)
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(path)
-    )
+    # Same persist discipline as the full build, batch-sided only: the
+    # persisted frames are ∝|batch|, NEVER ∝|index| (the stored side
+    # stays lazy parquet reads — at 100 TB persisting it would be the
+    # bug).
+    newn = _emb_normed(new_embeddings).persist()
+    assigned = _assign_cells(newn, cent).persist()
+    try:
+        (
+            _index_rows(newn, assigned, cb, cent_cells, rcb)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    finally:
+        assigned.unpersist()
+        newn.unpersist()
     # The memoized corpus count is keyed by semanticHash, and the hash
     # of spark.read.parquet(path) is UNCHANGED after files are appended
     # at that path (ADVICE r9, verified empirically) — so a session that
