@@ -81,8 +81,18 @@ def kmv_sketch(
     """Per-group KMV sketch: (group_col, u) rows, the ≤ k smallest
     distinct 60-bit md5 hashes of ``id_col`` — the bounded mergeable
     state a 100 TB distinct-count job ships between stages."""
+    # NULL ids are dropped explicitly: a null hashes to null, which the
+    # two engines then ORDER differently (Spark ranks nulls FIRST,
+    # DuckDB LAST) — and a null contributes nothing to a distinct count
+    # anyway. The guard keeps the sketch engine-deterministic even on
+    # corpora with null keys (the fixtures have none).
     u = X.md5_long(F.col(id_col).cast("string")).alias("u")
-    return _k_smallest(df.select(group_col, u), group_col, k, salt_mod)
+    return _k_smallest(
+        df.where(F.col(id_col).isNotNull()).select(group_col, u),
+        group_col,
+        k,
+        salt_mod,
+    )
 
 
 def kmv_merge(

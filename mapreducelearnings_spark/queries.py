@@ -3062,7 +3062,7 @@ from .functions import sketch as KMV  # noqa: E402
       SELECT DISTINCT event_type,
              CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
                   AS UBIGINT) AS BIGINT) AS u
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     r AS (
       SELECT event_type, u,
              row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn

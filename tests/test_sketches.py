@@ -180,3 +180,23 @@ def test_kmv_estimate_error_and_salt_invariance(spark):
     assert est["sketch_size"] == SK.KMV_K
     se = 1.0 / (SK.KMV_K - 2) ** 0.5
     assert abs(est["est_distinct"] - n) <= 4 * se * n
+
+
+def test_kmv_sketch_drops_null_ids(spark):
+    """NULL ids must not reach the rank: a null hashes to null, which
+    Spark orders FIRST and DuckDB LAST — the one engine-divergent value
+    in an otherwise bit-deterministic pipeline. The sketch over a
+    corpus with nulls equals the sketch over the null-free corpus."""
+    from mapreducelearnings_spark.functions import sketch as SK
+
+    clean = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    dirty = clean.unionByName(
+        spark.range(5).select(
+            F.lit("g").alias("g"), F.lit(None).cast("long").alias("v")
+        )
+    )
+    assert sorted(r["u"] for r in SK.kmv_sketch(dirty, "g", "v").collect()) == sorted(
+        r["u"] for r in SK.kmv_sketch(clean, "g", "v").collect()
+    )
