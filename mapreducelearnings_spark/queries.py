@@ -632,8 +632,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank() OVER (PARTITION BY user_id
                              ORDER BY value DESC, event_id ASC) AS BIGINT) AS value_rank,
            CAST(ntile(4) OVER w AS BIGINT) AS time_quartile,
-           ROUND(cume_dist() OVER (PARTITION BY user_id
-                                   ORDER BY value ASC, event_id ASC), 6) AS value_cume
+           FLOOR(cume_dist() OVER (PARTITION BY user_id
+                                   ORDER BY value ASC, event_id ASC)
+                 * 1000000 + 0.5) / 1000000 AS value_cume
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     """,
@@ -664,7 +665,12 @@ def q_window_function_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(wt).alias("first_event"),
         F.rank().over(wv).cast("long").alias("value_rank"),
         F.ntile(4).over(wt).cast("long").alias("time_quartile"),
-        F.round(F.cume_dist().over(wc), 6).alias("value_cume"),
+        # IEEE floor form, not ROUND: cume_dist is k/n, which lands on
+        # exact 6-dp half-ties at scale (k/n = 41/640 at the 10x sweep)
+        # where Spark rounds half-up and DuckDB half-to-even — the same
+        # divergence class the 3x sweep caught in bigram_lm_scores (r6).
+        (F.floor(F.cume_dist().over(wc) * 1000000 + F.lit(0.5)) / 1000000)
+        .alias("value_cume"),
     )
 
 
