@@ -1,3 +1,3 @@
-from . import skew, text, vector
+from . import sketch, skew, text, vector
 
-__all__ = ["skew", "text", "vector"]
+__all__ = ["sketch", "skew", "text", "vector"]
