@@ -73,6 +73,8 @@ HEADLINE = [
     "decontamination",
     "distinct_users_per_type",
     "distinct_kmv_sketch",
+    # round-11: incremental sketch maintenance (merge-then-estimate)
+    "distinct_kmv_incremental",
     "token_counts_bpe",
     "token_doc_frequency",
     "bpe_merges",
@@ -164,8 +166,10 @@ HEADLINE = [
     "ann_lsh_topk_multiprobe",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
-    "ann_hamming_topk",
-    "ann_pq_adc_topk",
+    # ann_hamming_topk and ann_pq_adc_topk retired r11 (superseded
+    # ladder rungs below the 64-bit/residual entries): their recall@5
+    # stays reported in the recall block below via direct simsearch
+    # calls, they no longer hold timed headline or driver slots.
     "ann_ivf_hamming_topk",
     "ann_ivf_pq_topk",
     "ann_pq_trained_topk",
@@ -184,6 +188,10 @@ HEADLINE = [
     "ann_pq64_adc_topk",
     "ann_ivf_pq64_residual_topk",
     "ann_index_append_topk",
+    # round-11: the >=0.9-recall SLA read path over the session-scoped
+    # on-disk index (build amortized; min-of-3 times the READ path —
+    # ingest is ann_index_append_topk's phase-timed chain)
+    "ann_index_sla_topk",
 ]
 
 # Python-EXECUTION surface twins, quarantined from the headline total
@@ -287,6 +295,7 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
     accuracy cost (3 collects of ≤40 rows each)."""
     from mapreducelearnings_spark.catalog import load_table
     from mapreducelearnings_spark.pipeline import simsearch as SS
+    from mapreducelearnings_spark.queries import REGISTRY
 
     emb = load_table(spark, sf_dir, "embeddings")
     truth: dict[int, set] = {}
@@ -335,6 +344,12 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
         ),
         "ann_ivf_pq64_residual_topk": recall(
             SS.ivf_pq_residual_topk(emb, n_queries=8, k=5).collect()
+        ),
+        # round-11: the SLA-configured on-disk read path (residual
+        # pre-rank, max(auto, 2.7%·n) budget) — recall printed next to
+        # its headline timing so the SLA claim is measured, not quoted
+        "ann_index_sla_topk": recall(
+            REGISTRY["ann_index_sla_topk"].spark(spark, sf_dir).collect()
         ),
         "ann_ivf_hamming_topk": recall(
             SS.ivf_hamming_topk(emb, n_queries=8, k=5).collect()
@@ -433,18 +448,38 @@ def main() -> None:
     surface_twins = _time_set(SURFACE_TWINS)
     timings = _time_set(HEADLINE)
     recall = _ann_recall_at_k(spark, sf_dir)
+    # Per-phase wall times of multi-phase chain entries (the last
+    # repeat's split — repeats are cold and near-identical): a chain
+    # row's ingest I/O must never read as query latency (VERDICT r10
+    # Next #3).
+    from mapreducelearnings_spark.queries import PHASE_TIMES
+
+    phases = dict(PHASE_TIMES)
     spark.stop()
 
     probe_after = _calibration_probe()
     wide_after = _calibration_probe_wide()
     load_after = os.getloadavg()
 
-    contended = any(
-        p > _CALIBRATION_REF_SEC * (1 + _CALIBRATION_TOL)
-        for p in (probe_before, probe_after)
-    ) or any(
-        w == w and w > _CALIBRATION_WIDE_REF_SEC * (1 + _CALIBRATION_TOL)
-        for w in (wide_before, wide_after)  # w==w filters the nan fallback
+    # Ambient-load guard (VERDICT r10 Next #8): the r10 run taken at
+    # loadavg ≈7 passed both probes at +17% — just under the 20%
+    # threshold — yet ran 5% slow across the board. The 1-minute
+    # loadavg BEFORE the run is the leading indicator the probes can
+    # miss (they sample ~2 s; loadavg integrates a minute), so a run
+    # started on a visibly busy host is flagged regardless of probe
+    # luck. AFTER-load is excluded: it mostly measures the bench's own
+    # 32-thread work decaying.
+    _LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_CAL_LOADAVG_MAX", "3.0"))
+    contended = (
+        any(
+            p > _CALIBRATION_REF_SEC * (1 + _CALIBRATION_TOL)
+            for p in (probe_before, probe_after)
+        )
+        or any(
+            w == w and w > _CALIBRATION_WIDE_REF_SEC * (1 + _CALIBRATION_TOL)
+            for w in (wide_before, wide_after)  # w==w filters the nan fallback
+        )
+        or load_before[0] > _LOADAVG_MAX
     )
     # The opposite deviation — probes >20% FASTER than ref — means the
     # committed reference is stale for this host; report it so the refs
@@ -465,6 +500,10 @@ def main() -> None:
         # Python-execution API demos, excluded from `value` by policy —
         # see SURFACE_TWINS above.
         "surface_twins": surface_twins,
+        # build/append/query split of chain entries — their headline
+        # number is the whole chain; the read-path SLA number is the
+        # query phase.
+        "phases": phases,
         "recall_at_5": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # Contention self-defense block — see _calibration_probe above.
@@ -477,6 +516,7 @@ def main() -> None:
             "wide_after_sec": wide_after,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in load_after],
+            "loadavg_max": _LOADAVG_MAX,
             "wide_workers": _WIDE_WORKERS,
             "contended": contended,
             "ref_stale_fast": ref_stale_fast,

@@ -100,7 +100,9 @@ def kmv_merge(
 ) -> DataFrame:
     """Merge two sketches: union of their hash sets, re-ranked to the k
     smallest. The salted prune is skipped — inputs are ≤ k rows per
-    group each by construction."""
+    group each by construction. ``k`` must equal the build-time k of
+    BOTH inputs (see :func:`kmv_estimate` on why a mismatch cannot be
+    fully detected from the rows alone)."""
     w = Window.partitionBy(group_col).orderBy("u")
     return (
         s1.unionByName(s2)
@@ -131,15 +133,37 @@ def kmv_estimate(
 ) -> DataFrame:
     """Distinct-count estimate from a sketch frame: one partial-agg
     shuffle over ≤ k rows per group. Columns: (group_col, sketch_size,
-    est_distinct)."""
+    est_distinct).
+
+    ``k`` MUST equal the ``k`` the sketch was built (and merged) with —
+    both the m<k exact branch and the (k-1) numerator depend on it
+    (ADVICE r10). A too-small ``k`` is caught at runtime: any group
+    whose sketch holds more than ``k`` rows raises instead of silently
+    mis-estimating. A too-LARGE ``k`` is undetectable from the rows
+    alone (a full k=64 sketch looks like an unfilled k=128 one and
+    takes the exact branch, underestimating) — callers that ship
+    sketches between jobs should carry k out-of-band, as the registry
+    queries do via the module constant :data:`KMV_K`."""
     agg = sketch.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("sketch_size"),
         F.max("u").alias("_umax"),
     )
+    guarded = F.when(
+        F.col("sketch_size") > k,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"kmv_estimate(k={k}) saw a sketch with more rows "
+                    "than k — built with a larger k? group="
+                ),
+                F.col(group_col).cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(
+        _estimate_expr(F.col("sketch_size"), F.col("_umax"), k)
+    )
     return agg.select(
         group_col,
         "sketch_size",
-        _estimate_expr(
-            F.col("sketch_size"), F.col("_umax"), k
-        ).alias("est_distinct"),
+        guarded.alias("est_distinct"),
     )

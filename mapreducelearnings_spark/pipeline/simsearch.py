@@ -1584,12 +1584,16 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
     # broadcast-argmax subtrees run once, not once per consumer. At
     # 100 TB this is the standard ingest discipline: the persisted
     # frames are ∝ corpus (the job's own input), released on return.
+    # Persist sits INSIDE the try (ADVICE r10): if any downstream plan
+    # construction raises, the finally still releases the cached frames
+    # instead of leaking session storage.
     embn = _emb_normed(embeddings).persist()
-    cent_cid = embn.where(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
-    )
-    assigned = _assign_cells(embn, cent_cid).persist()  # (vec_id, cell, ne)
+    assigned = None
     try:
+        cent_cid = embn.where(F.col("vec_id") < IVF_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+        )
+        assigned = _assign_cells(embn, cent_cid).persist()  # (vec_id, cell, ne)
         cb = codebooks_from_normed(embn)
         cent = cent_cid.select(F.col("cid").alias("cell"), "ce")
         rcb = _residual_codebooks(assigned, cent)
@@ -1600,7 +1604,8 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
             .parquet(path)
         )
     finally:
-        assigned.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
         embn.unpersist()
 
 
@@ -1711,10 +1716,12 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     # Same persist discipline as the full build, batch-sided only: the
     # persisted frames are ∝|batch|, NEVER ∝|index| (the stored side
     # stays lazy parquet reads — at 100 TB persisting it would be the
-    # bug).
+    # bug). Persist inside the try (ADVICE r10) so a plan-construction
+    # failure still releases the cache.
     newn = _emb_normed(new_embeddings).persist()
-    assigned = _assign_cells(newn, cent).persist()
+    assigned = None
     try:
+        assigned = _assign_cells(newn, cent).persist()
         (
             _index_rows(newn, assigned, cb, cent_cells, rcb)
             .write.mode("append")
@@ -1722,7 +1729,8 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
             .parquet(path)
         )
     finally:
-        assigned.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
         newn.unpersist()
     # The memoized corpus count is keyed by semanticHash, and the hash
     # of spark.read.parquet(path) is UNCHANGED after files are appended
@@ -1736,6 +1744,108 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
         _CORPUS_SIZE_CACHE.clear()
 
 
+# ---------------------------------------------------------------------------
+# Recall-SLA configuration of the on-disk index read path (VERDICT r10
+# Next #2). The measured ladder (PERFORMANCE.md "30× recall,
+# revisited", worst measured density: 20 clusters × ~3 000
+# near-identical members at 30×):
+#
+#   pre-rank column + budget            recall@5 at worst density
+#   absolute pq_code + log-n auto       0.325–0.725 (code-width bound)
+#   residual rq_code + log-n auto       0.775–0.800 (compressed floor)
+#   residual rq_code + 2.7 % of corpus  0.95
+#   exact (no pre-rank, probed cells)   1.0 (reads n_probes/n_cells)
+#
+# ann_index_topk(recall_sla=...) picks the cheapest row of that table
+# that meets the SLA, sizing the budget from the STORED index's own
+# row count — the production conclusion of the 30× measurement, as an
+# API knob instead of prose.
+# ---------------------------------------------------------------------------
+
+#: Exact-rerank fraction at which the residual pre-rank crossed 0.9
+#: recall at the worst measured density (R = 1 600 / 60 000 = 2.7 %).
+SLA_RERANK_FRACTION = 0.027
+#: Measured recall floor of the residual pre-rank under the log-n auto
+#: budget at the worst density — SLAs above it need the fraction budget.
+SLA_COMPRESSED_FLOOR = 0.80
+#: Measured recall of the fraction budget at the worst density — SLAs
+#: above it get the exact path (recall 1.0 within probed cells).
+SLA_FRACTION_RECALL = 0.95
+
+
+def sla_rerank_rows(n_vectors: int, k: int = 5) -> int:
+    """The ≥0.9-SLA exact-rerank row budget for a stored corpus of
+    ``n_vectors``: never below the log-n auto budget (which carries
+    recall at low density where the fraction would undershoot), the
+    measured 2.7 % fraction above it. Integer arithmetic only, so the
+    DuckDB oracle reproduces it exactly via GREATEST(auto, CEIL(...))."""
+    import math
+
+    return max(
+        k * hamming_auto_mult(n_vectors),
+        math.ceil(SLA_RERANK_FRACTION * n_vectors),
+    )
+
+
+def _index_exact_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    n_queries: int,
+    k: int,
+    n_cells: int,
+    n_probes: int,
+) -> DataFrame:
+    """Exact-rerank read of the on-disk index: every row of the probed
+    cells is cosine-scored against its queries — no compressed
+    pre-rank at all. This is the measured recall-1.0 path
+    (ann_ivf_topk's contract over the stored layout): it reads
+    n_probes/n_cells of the dataset via partition pruning and scores
+    what it reads, the right trade when the SLA outranks the scan
+    budget."""
+    embn = _emb_normed(embeddings)
+    cent = embn.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
+    )
+    q = embn.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")
+    )
+    qs = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
+    qprobe = (
+        qs.withColumn("pr", F.row_number().over(wprobe))
+        .where(F.col("pr") <= n_probes)
+        .select("query_id", "qe", F.col("cid").cast("long").alias("cell"))
+    )
+    probe_cells = sorted(
+        {r["cell"] for r in qprobe.select("cell").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    scored = (
+        idx.select("vec_id", "cell", "ne")
+        .join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(V.dot(F.col("qe"), F.col("ne")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ann_index_topk(
     spark,
     path: str,
@@ -1745,6 +1855,7 @@ def ann_index_topk(
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
     rerank_mult: int | None = None,
+    recall_sla: float | None = None,
 ) -> DataFrame:
     """Query the on-disk index: per-query probe cells come from the
     same broadcast-centroid ranking as :func:`ivf_topk`, their UNION
@@ -1762,7 +1873,37 @@ def ann_index_topk(
     the budget is right even when the query vectors come from a
     different or subset frame than the one the index was built from
     (ADVICE r8). When the two frames match — the tested default —
-    this keeps bit-parity with :func:`ivf_pq_topk` under defaults."""
+    this keeps bit-parity with :func:`ivf_pq_topk` under defaults.
+
+    ``recall_sla`` (VERDICT r10 Next #2) picks the pre-rank column and
+    budget from the stored index's own stats per the measured ladder
+    above: ≤ :data:`SLA_COMPRESSED_FLOOR` → residual ``rq_code``
+    pre-rank under the auto budget; ≤ :data:`SLA_FRACTION_RECALL` →
+    residual pre-rank with :func:`sla_rerank_rows`; above → the exact
+    path (:func:`_index_exact_topk`, recall 1.0 within probed cells).
+    Mutually exclusive with ``rerank_mult``."""
+    if recall_sla is not None:
+        if rerank_mult is not None:
+            raise ValueError("pass recall_sla OR rerank_mult, not both")
+        if recall_sla > SLA_FRACTION_RECALL:
+            return _index_exact_topk(
+                spark, path, embeddings, n_queries, k, n_cells, n_probes
+            )
+        rerank_rows = None
+        if recall_sla > SLA_COMPRESSED_FLOOR:
+            rerank_rows = sla_rerank_rows(
+                corpus_size(spark.read.parquet(path)), k
+            )
+        return ann_index_residual_topk(
+            spark,
+            path,
+            embeddings,
+            n_queries=n_queries,
+            k=k,
+            n_cells=n_cells,
+            n_probes=n_probes,
+            rerank_rows=rerank_rows,
+        )
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(spark.read.parquet(path)))
     embn = _emb_normed(embeddings)
@@ -1847,6 +1988,7 @@ def ann_index_residual_topk(
     n_probes: int = IVF_PROBES,
     rerank_mult: int | None = None,
     pq_m: int = PQ_M,
+    rerank_rows: int | None = None,
 ) -> DataFrame:
     """Query the on-disk index through its RESIDUAL code column — the
     round-10 production default (PERFORMANCE.md "30× recall,
@@ -1859,9 +2001,14 @@ def ann_index_residual_topk(
     performs, so build, append and query all agree bit-for-bit.
     Results are bit-identical to the in-memory
     :func:`ivf_pq_residual_topk` (pytest-pinned) while reading
-    n_probes/n_cells of the dataset via partition pruning."""
+    n_probes/n_cells of the dataset via partition pruning.
+    ``rerank_rows`` overrides the ``k × mult`` budget with an absolute
+    per-query row count — the SLA-fraction hook (see
+    :func:`sla_rerank_rows`)."""
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(spark.read.parquet(path)))
+    if rerank_rows is None:
+        rerank_rows = k * rerank_mult
     dsub = DIMS // pq_m
     stored = spark.read.parquet(path)
     cent = stored.where(F.col("vec_id") < n_cells).select(
@@ -1916,7 +2063,7 @@ def ann_index_residual_topk(
     wa = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     cand = (
         approx.withColumn("ar", F.row_number().over(wa))
-        .where(F.col("ar") <= k * rerank_mult)
+        .where(F.col("ar") <= rerank_rows)
         .select("query_id", "neighbor_id")
     )
     c = idx.select(F.col("vec_id").alias("neighbor_id"), F.col("ne").alias("cemb"))

@@ -1569,22 +1569,28 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_nearest",
+    # The oracle mirrors the Spark plan's OWN shape (VERDICT r10 Next
+    # #6): collisions scored in place off the (t, b) join stream, then
+    # a streaming argmax GROUP BY — max(struct(cos, -nn)) compares
+    # lexicographically in both engines, ties to the smallest nn. No
+    # DISTINCT over the collision multiset and no window sort, so
+    # nothing quadratic is ever MATERIALIZED on the DuckDB side either
+    # (the r10 form spilled past the 80 GB disk at 10×; this one's
+    # state is one aggregate entry per vector). Cross-table repeat
+    # collisions contribute identical (cos, -nn) pairs — max is
+    # idempotent, exactly the Spark-side invariant.
     f"""
     WITH {_EMB_CTE},
     {_multi_tagged_cte(_NDUP_TABLES, _NDUP_PLANES)},
-    cand AS (SELECT DISTINCT l.vec_id AS vec_id, r.vec_id AS nn
+    best AS (SELECT l.vec_id,
+             MAX(struct_pack(
+                 c := ROUND({_COS.format(a="l.ne", b="r.ne")}, 6),
+                 mnn := -r.vec_id)) AS m
              FROM tagged l JOIN tagged r
-               ON l.t = r.t AND l.b = r.b AND l.vec_id <> r.vec_id),
-    scored AS (SELECT c.vec_id, c.nn,
-               ROUND({_COS.format(a="a.ne", b="b.ne")}, 6) AS cos
-               FROM cand c JOIN e a ON c.vec_id = a.vec_id
-               JOIN e b ON c.nn = b.vec_id),
-    rk AS (SELECT vec_id, nn, cos,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY cos DESC, nn ASC) AS rn
-           FROM scored)
-    SELECT vec_id, nn AS nn_id, cos
-    FROM rk WHERE rn = 1
+               ON l.t = r.t AND l.b = r.b AND l.vec_id <> r.vec_id
+             GROUP BY l.vec_id)
+    SELECT vec_id, -m.mnn AS nn_id, m.c AS cos
+    FROM best
     """,
     doc="Per-vector nearest same-bucket LSH neighbor — the "
     "BOUNDED-OUTPUT production form of embedding near-dup detection "
@@ -1941,10 +1947,16 @@ def _hamming_oracle(
     """
 
 
-@register(
+@retire(
     "ann_hamming_topk",
     _hamming_oracle(),
-    doc="Binary-signature ANN: 64-bit sign signatures (two 32-bit "
+    doc="RETIRED from the driver rotation (r11, VERDICT r10 Next #7): "
+    "its r10 driver row is green and the 30× recall ladder "
+    "(PERFORMANCE.md '30× recall, revisited') placed sign-Hamming "
+    "strictly below ann_pq64_adc_topk / ann_ivf_pq64_residual_topk as "
+    "a compressed-scan rung; the 1-bit-per-dim point stays measured in "
+    "bench.py's recall block and fully oracle-checked here. "
+    "Binary-signature ANN: 64-bit sign signatures (two 32-bit "
     "words; 64× smaller than the float64 vectors) scanned with "
     "XOR+popcount Hamming pre-rank, then exact cosine rerank of an "
     "AUTO-SCALED per-query top R: +16·k per corpus doubling past 500 "
@@ -2097,10 +2109,17 @@ def _pq_oracle(
     """
 
 
-@register(
+@retire(
     "ann_pq_adc_topk",
     _pq_oracle(),
-    doc="Product-quantization ANN with asymmetric distance computation: "
+    doc="RETIRED from the driver rotation (r11, VERDICT r10 Next #7): "
+    "its r10 driver row is green and the 32-bit code width is a "
+    "documented ladder rung strictly below the 64-bit "
+    "ann_pq64_adc_topk (30× recall 0.325 vs 0.725 at the same "
+    "budget); the rung stays measured in bench.py's recall block "
+    "(ann_pq_adc_topk / ann_pq_adc_topk_fixed rows) and fully "
+    "oracle-checked here. "
+    "Product-quantization ANN with asymmetric distance computation: "
     "corpus stored as 32-bit PQ codes (8 subspaces × 16 codes — 16× "
     "smaller than float32), queries full-precision; ADC score "
     "Σ_m ⟨q_m, codebook_m[code]⟩ pre-ranks, exact cosine reranks the "
@@ -3114,6 +3133,58 @@ def q_distinct_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("user_id")).alias("n_exact")
     )
     return est.join(exact, "event_type")
+
+
+@register(
+    "distinct_kmv_incremental",
+    # The oracle is the FROM-SCRATCH sketch over the whole table: the
+    # comparison itself proves merge(sketch(base), sketch(batch)) ==
+    # sketch(base ∪ batch) — exact, not approximate, because the k
+    # smallest distinct hashes of a union are contained in the union of
+    # each side's k smallest (same SQL as distinct_kmv_sketch, without
+    # the exact-count exhibit column).
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS u
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM h)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           CASE WHEN COUNT(*) < {KMV.KMV_K}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE FLOOR(({float(KMV.KMV_K - 1)} * {float(KMV.KMV_HASH_BASE)}
+                            / CAST(MAX(u) + 1 AS DOUBLE)) * 10000 + 0.5)
+                     / 10000
+           END AS est_distinct
+    FROM r WHERE rn <= {KMV.KMV_K} GROUP BY event_type
+    """,
+    doc="Incremental KMV sketch maintenance (VERDICT r10 Next #5): the "
+    "incremental_merge_counts shape applied to the sketch — a BASE "
+    "sketch (3/4 of events by event_id mod) merged with an "
+    "ARRIVAL-BATCH sketch via kmv_merge (union → re-rank to k), then "
+    "estimated. This is what a 100 TB distinct-count dashboard "
+    "actually runs daily: the base's raw rows are never rescanned; "
+    "the merge touches ≤ 2k rows per group. The oracle is the "
+    "from-scratch sketch over the whole table — exactness holds "
+    "because the k smallest distinct hashes of a union are contained "
+    "in the union of each side's k smallest (the mergeability the "
+    "pytest invariants pin per-value; this entry driver-certifies "
+    "merge-then-estimate end-to-end).",
+)
+def q_distinct_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_id") % 4 != 0)
+    batch = ev.where(F.col("event_id") % 4 == 0)
+    merged = KMV.kmv_merge(
+        KMV.kmv_sketch(base, "event_type", "user_id"),
+        KMV.kmv_sketch(batch, "event_type", "user_id"),
+        "event_type",
+    )
+    return KMV.kmv_estimate(merged, "event_type")
 
 
 # ===========================================================================
@@ -4677,14 +4748,18 @@ def _ivf_pq_residual_oracle(
     m: int = SS.PQ_M,
     kq: int = SS.PQ_K64,
     dims: int = SS.DIMS,
+    budget_sql: str | None = None,
 ) -> str:
     """SQL mirror of SS.ivf_pq_residual_topk: the IVF assignment CTE,
     then the whole PQ pipeline runs over RESIDUALS r = ne − ce(cell)
     (element-wise list_transform subtraction — the same IEEE subtract
     Spark's zip_with performs), and the ADC estimate adds back the
     query-centroid dot the probe ranking already computed:
-    adc = ROUND(MAX(cs) + SUM(ps), 6)."""
+    adc = ROUND(MAX(cs) + SUM(ps), 6). ``budget_sql`` overrides the
+    rerank budget expression (the SLA-fraction hook)."""
     dsub = dims // m
+    if budget_sql is None:
+        budget_sql = _rerank_budget_sql(k, rerank_mult)
     return f"""
     WITH {_EMB_CTE},
     cent AS (SELECT vec_id AS cid, ne AS ce FROM e
@@ -4735,7 +4810,7 @@ def _ivf_pq_residual_oracle(
     cand AS (SELECT query_id, neighbor_id FROM
              (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                         ORDER BY adc DESC, neighbor_id ASC) AS ar
-              FROM approx) WHERE ar <= {_rerank_budget_sql(k, rerank_mult)}),
+              FROM approx) WHERE ar <= {budget_sql}),
     scored AS (SELECT ca.query_id, ca.neighbor_id,
                ROUND({_COS.format(a="q.ne", b="n.ne")}, 6) AS cos
                FROM cand ca JOIN e n ON ca.neighbor_id = n.vec_id
@@ -4788,18 +4863,107 @@ def q_ann_ivf_pq64_residual_topk(
     "bit-identical to the in-memory composition (both pytest-pinned), "
     "the DuckDB oracle is exactly the ann_ivf_pq_topk SQL over the "
     "full corpus — the driver row certifies the whole "
-    "build→append→query chain, not just its parts.",
+    "build→append→query chain, not just its parts. The chain runs "
+    "INSIDE this callable (the k·n_queries-row result is collected, "
+    "the temp index removed, and the rows returned as a local frame — "
+    "VERDICT r10 Next #3: no index dirs survive the call), and the "
+    "per-phase wall times land in PHASE_TIMES for bench.py to report "
+    "build/append/query separately (the 13 s bench row was ~10/13 "
+    "ingest I/O; the production read-path SLA cares about the query "
+    "phase alone).",
 )
 def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
+    import time
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = SS.corpus_size(emb)
     cut = max(SS.PQ_K, SS.IVF_CELLS, (3 * n) // 4)
-    path = tempfile.mkdtemp(prefix="ann_index_append_q_") + "/idx"
-    SS.ann_index_write(emb.where(F.col("vec_id") < cut), path)
-    SS.ann_index_append(spark, path, emb.where(F.col("vec_id") >= cut))
-    return SS.ann_index_topk(spark, path, emb)
+    root = tempfile.mkdtemp(prefix="ann_index_append_q_")
+    path = root + "/idx"
+    try:
+        t0 = time.perf_counter()
+        SS.ann_index_write(emb.where(F.col("vec_id") < cut), path)
+        t1 = time.perf_counter()
+        SS.ann_index_append(spark, path, emb.where(F.col("vec_id") >= cut))
+        t2 = time.perf_counter()
+        result = SS.ann_index_topk(spark, path, emb)
+        # Bounded control read (≤ n_queries × k = 40 rows): materialize
+        # while the index still exists, so the temp dir can be removed
+        # before returning — the caller gets a local frame.
+        schema = result.schema
+        rows = result.collect()
+        t3 = time.perf_counter()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    PHASE_TIMES["ann_index_append_topk"] = {
+        "build_sec": round(t1 - t0, 4),
+        "append_sec": round(t2 - t1, 4),
+        "query_sec": round(t3 - t2, 4),
+    }
+    return spark.createDataFrame(rows, schema)
+
+
+#: Per-phase wall times of the most recent multi-phase query run —
+#: bench.py copies this next to the headline timings so a chain row's
+#: ingest I/O is never mistaken for query latency (VERDICT r10 Next #3).
+PHASE_TIMES: dict[str, dict[str, float]] = {}
+
+
+# Session-scoped on-disk ANN index, shared by every read-path query
+# (VERDICT r10 Next #2): built ONCE per (session, sf_dir) into a temp
+# root that an atexit hook removes — repeated invocations (bench
+# min-of-3, oracle sweeps) measure the READ path, not a rebuild, and
+# nothing leaks past interpreter exit. The ingest cost itself stays
+# benchmarked by ann_index_append_topk's phase-timed chain.
+_SESSION_INDEX_CACHE: dict[str, str] = {}
+
+
+def _session_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = _SESSION_INDEX_CACHE.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        root = tempfile.mkdtemp(prefix="ann_index_session_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = root + "/idx"
+        SS.ann_index_write(load_table(spark, sf_dir, "embeddings"), path)
+        _SESSION_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_index_sla_topk",
+    _ivf_pq_residual_oracle(
+        budget_sql=f"GREATEST(5 * ({_AUTO_MULT_SQL}), "
+        f"CAST(CEIL({SS.SLA_RERANK_FRACTION} * "
+        f"(SELECT COUNT(*) FROM e)) AS BIGINT))"
+    ),
+    doc="The ≥0.9-recall SLA surfaced as an API knob on the on-disk "
+    "index read path (VERDICT r10 Next #2): "
+    "ann_index_topk(recall_sla=0.9) picks the RESIDUAL code column "
+    "for pre-rank and sizes the exact-rerank budget from the stored "
+    "index's own row count — max(log-n auto budget, ceil(2.7% × n)), "
+    "the fraction at which the residual pre-rank measured 0.95 recall "
+    "at the worst 30× density (PERFORMANCE.md '30× recall, "
+    "revisited'); SLAs above 0.95 switch to the exact path (recall "
+    "1.0 within probed cells). Integer-exact budget arithmetic on "
+    "both engines (GREATEST/CEIL over a COUNT), so the "
+    "SLA-configured approximate result stays fully oracle-checked. "
+    "The index is the session-scoped on-disk build (partition-pruned "
+    "probe reads; ingest measured separately by "
+    "ann_index_append_topk's phases), so this entry times the "
+    "production READ path under the SLA budget.",
+)
+def q_ann_index_sla_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _session_index(spark, sf_dir)
+    return SS.ann_index_topk(
+        spark, path, load_table(spark, sf_dir, "embeddings"), recall_sla=0.9
+    )
 
 
 @register(
@@ -6710,46 +6874,34 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     all with 4-scale local oracle evidence recorded this round
 #     (sf0.001 / sf0.01 / sf0.1 / 3x).
 # 44 + 1 + 2 + 3 = 50, a full window.
-# Forecast: r11 = the 49 remaining r8-greens + distinct_kmv_sketch
-# (the r10 mid-round add, rule 2 — it takes the spare slot).
-# Previous forecast text kept for the audit trail:
-# r11 = the 49 remaining r8-greens (ann_ivf_pq_topk was
-# refreshed here) + 1 spare; r12 = the 50 r9-greens.
+# Forecast (executed in r11): r11 = the 49 remaining r8-greens +
+# distinct_kmv_sketch (the r10 mid-round add, rule 2 — it takes the
+# spare slot).
+# ---------------------------------------------------------------------------
+# Round-11 window (THIS round): exactly the r10 forecast — the 49
+# r8-greens (age 3 entering r11, at the staleness bound) +
+# distinct_kmv_sketch (rule 2: the one registry entry with no driver
+# row ever, judge-verified exact in the r10 session; VERDICT r10
+# Next #1).
+# Round-11 capacity work (VERDICT r10 Next #7): ann_hamming_topk and
+# ann_pq_adc_topk moved to RETIRED — both carry fresh r10-green driver
+# rows, and the 30x recall ladder placed the 32-bit/1-bit-per-dim
+# rungs strictly below the 64-bit + residual entries that hold
+# registry slots; their recall stays measured in bench.py's recall
+# block and their oracles stay checked by tests/test_oracle_parity.
+# Round-11 adds (rule 2 -> r12 window, 4-scale local oracle evidence
+# recorded this round): distinct_kmv_incremental (merge-then-estimate
+# maintenance of the KMV sketch, VERDICT r10 Next #5) and
+# ann_index_sla_topk (the >=0.9-recall SLA surfaced as a knob on the
+# on-disk index read path, VERDICT r10 Next #2).
+# Forecast: r12 = the 50 r9-greens LESS 2 bumped by the rule-2 adds
+# (the 2 bumped entries age to 3 and lead the r13 window; rule 2
+# outranks rule 3 by the standing order). r13 = the 48 r10-greens
+# (50 less the 2 retirements).
 # ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    # rule 3 — the 45 remaining r7-greens (age 3 entering r10, at the
-    # staleness bound):
-    "incident_event_counts", "degree_distribution", "value_histogram",
-    "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
-    "quality_filter", "corpus_curation", "ann_hamming_topk",
-    "ann_pq_adc_topk", "ann_ivf_hamming_topk", "explode_variants",
-    "window_function_gauntlet", "events_rolling_hour", "similarity_topk_q8",
-    "dedup_ngram_jaccard", "token_counts_bpe", "token_doc_frequency",
-    "sql_revenue_by_nation", "shipping_priority", "distinct_users_per_type",
-    "sliding_windows", "top_events_per_user", "pagerank_df_quirk",
-    "pagerank_topk", "kmeans_followers", "pivot_event_counts",
-    "unpivot_event_counts", "top_supplier", "salted_join", "decontamination",
-    "multimodal_meta", "dedup_clusters",
-    "dedup_clusters_star", "sentence_stats", "text_normalize",
-    "inverted_index", "bm25_topk", "max_filter", "distinct_pairs",
-    "right_outer_join", "explode_tokens", "salted_follower_count",
-    "triangle_count_broadcast",
-    # rule 1 — the r9 auto-budget oracle migration, pulled forward:
-    "ann_ivf_pq_topk",
-    # rule 2 — never driver-checked: the r9 adds, then the r10 adds:
-    "dedup_embedding_nearest", "bpe_merges_batched",
-    "ann_pq64_adc_topk", "ann_index_append_topk",
-    "ann_ivf_pq64_residual_topk",
-]
-
-# Outside the driver's 50-row window this round: every entry below has
-# a green driver row from r8 or r9 (ages 1-2 entering r10; none reaches
-# the age-3 bound before its scheduled r11/r12 slot); all are still
-# oracle-checked locally at sf0.001 by tests/test_oracle_parity and at
-# sf0.01 by tools/check_oracles.py every round.
-_TAIL = [
-    # r8-green (age 2 entering r10): the r11 cohort (49 entries;
-    # ann_ivf_pq_topk moved into this round's window).
+    # rule 3 — the 49 r8-greens (age 3 entering r11, at the staleness
+    # bound):
     "bpe_merges", "dedup_clusters_incremental", "set_ops",
     "bpe_encode_tokens", "epoch_shuffle", "hash_split", "dedup_stream_lsh",
     "anti_join", "customer_running_totals", "lang_id",
@@ -6766,7 +6918,20 @@ _TAIL = [
     "semdedup_keep", "source_quota_sample", "zorder_values",
     "asof_latest_order_cogroup", "bigram_counts", "nation_profit",
     "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
-    # r9-green (age 1 entering r10): the r12 cohort (50 entries).
+    # rule 2 — never driver-checked: the r10 mid-round add:
+    "distinct_kmv_sketch",
+]
+
+# Outside the driver's 50-row window this round: every entry below has
+# a green driver row from r9 or r10 (ages 1-2 entering r11; none
+# reaches the age-3 bound before its scheduled r12/r13 slot) except
+# the two r11 adds at the end (rule 2 — they enter the r12 window);
+# all are still oracle-checked locally at sf0.001 by
+# tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py
+# every round.
+_TAIL = [
+    # r9-green (age 2 entering r11): the r12 cohort (50 entries; the 2
+    # rule-2 adds below bump the last 2 of these to r13).
     "cooccurrence_pmi", "dedup_keep_best", "shipmode_priority",
     "bigram_lm_scores", "batch_sessionize", "scd2_event_intervals",
     "secondary_sort_orders", "weighted_sample_priority", "doc_provenance",
@@ -6782,11 +6947,30 @@ _TAIL = [
     "semi_join", "broadcast_join", "two_hop_paths", "top_k", "union_reagg",
     "pagerank_idfilter", "sssp_distances", "sssp_paths", "triangle_count",
     "kmeans_centroids", "dedup_exact", "simhash_fingerprints",
-    # r10 mid-round add (no driver row yet): 4-scale local oracle
-    # evidence recorded this round (SWEEPS.json); takes the r11 spare
-    # slot the forecast reserved (rule 2 — never-driver-checked entries
-    # enter the next window).
-    "distinct_kmv_sketch",
+    # r10-green (age 1 entering r11): the r13 cohort (48 entries —
+    # ann_hamming_topk and ann_pq_adc_topk retired this round).
+    "incident_event_counts", "degree_distribution", "value_histogram",
+    "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
+    "quality_filter", "corpus_curation", "ann_ivf_hamming_topk",
+    "explode_variants",
+    "window_function_gauntlet", "events_rolling_hour", "similarity_topk_q8",
+    "dedup_ngram_jaccard", "token_counts_bpe", "token_doc_frequency",
+    "sql_revenue_by_nation", "shipping_priority", "distinct_users_per_type",
+    "sliding_windows", "top_events_per_user", "pagerank_df_quirk",
+    "pagerank_topk", "kmeans_followers", "pivot_event_counts",
+    "unpivot_event_counts", "top_supplier", "salted_join", "decontamination",
+    "multimodal_meta", "dedup_clusters",
+    "dedup_clusters_star", "sentence_stats", "text_normalize",
+    "inverted_index", "bm25_topk", "max_filter", "distinct_pairs",
+    "right_outer_join", "explode_tokens", "salted_follower_count",
+    "triangle_count_broadcast", "ann_ivf_pq_topk",
+    "dedup_embedding_nearest", "bpe_merges_batched",
+    "ann_pq64_adc_topk", "ann_index_append_topk",
+    "ann_ivf_pq64_residual_topk",
+    # r11 mid-round adds (no driver row yet): 4-scale local oracle
+    # evidence recorded this round (SWEEPS.json); rule 2 puts them in
+    # the r12 window.
+    "distinct_kmv_incremental", "ann_index_sla_topk",
 ]
 
 

@@ -814,6 +814,72 @@ def test_ann_index_residual_roundtrip_matches_in_memory(
     assert len(on_disk) > 0
 
 
+def test_ann_index_append_chain_cleans_temp_and_reports_phases(
+    spark, sf_dir
+):
+    """The build→append→query chain query must leave NO temp index dirs
+    behind (VERDICT r10 Next #3 — bench min-of-3 × sweeps used to leak
+    gigabytes of dead indexes per session) and must record its
+    build/append/query phase split for bench.py's `phases` block."""
+    import glob
+    import tempfile
+
+    from mapreducelearnings_spark.queries import PHASE_TIMES, REGISTRY
+
+    pattern = tempfile.gettempdir() + "/ann_index_append_q_*"
+    before = set(glob.glob(pattern))
+    df = REGISTRY["ann_index_append_topk"].spark(spark, sf_dir)
+    assert df.count() > 0
+    assert set(glob.glob(pattern)) == before, "chain leaked a temp index"
+    phases = PHASE_TIMES["ann_index_append_topk"]
+    assert set(phases) == {"build_sec", "append_sec", "query_sec"}
+    assert all(v >= 0 for v in phases.values())
+
+
+def test_ann_index_recall_sla_ladder(spark, sf_dir, tmp_path):
+    """ann_index_topk(recall_sla=...) must dispatch to the measured
+    ladder rung the SLA requires (VERDICT r10 Next #2): >0.95 → the
+    exact path (bit-identical to the in-memory exact-rerank IVF);
+    (0.8, 0.95] → the residual pre-rank with the max(auto, ceil(2.7%·n))
+    budget; ≤0.8 → the residual pre-rank under the auto budget. And the
+    knob is mutually exclusive with an explicit rerank_mult."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index_sla")
+    SS.ann_index_write(emb, path)
+
+    def rows(df):
+        out = {tuple(r) for r in df.collect()}
+        assert len(out) > 0
+        return out
+
+    # > 0.95 → exact scoring of every probed-cell row (recall-1.0 path)
+    assert rows(
+        SS.ann_index_topk(spark, path, emb, n_queries=4, k=5, recall_sla=1.0)
+    ) == rows(SS.ivf_topk(emb, n_queries=4, k=5))
+
+    # (0.8, 0.95] → residual pre-rank with the SLA-fraction budget
+    n = spark.read.parquet(path).count()
+    budget = SS.sla_rerank_rows(n, 5)
+    assert budget >= 5 * SS.hamming_auto_mult(n)
+    assert rows(
+        SS.ann_index_topk(spark, path, emb, n_queries=4, k=5, recall_sla=0.9)
+    ) == rows(
+        SS.ann_index_residual_topk(
+            spark, path, emb, n_queries=4, k=5, rerank_rows=budget
+        )
+    )
+
+    # ≤ 0.8 → residual pre-rank under the auto budget (the default)
+    assert rows(
+        SS.ann_index_topk(spark, path, emb, n_queries=4, k=5, recall_sla=0.5)
+    ) == rows(SS.ann_index_residual_topk(spark, path, emb, n_queries=4, k=5))
+
+    with pytest.raises(ValueError, match="recall_sla OR rerank_mult"):
+        SS.ann_index_topk(spark, path, emb, recall_sla=0.9, rerank_mult=16)
+
+
 def test_ann_index_append_invalidates_corpus_size_cache(
     spark, sf_dir, tmp_path
 ):

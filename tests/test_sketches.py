@@ -1,11 +1,17 @@
 """Approximate-aggregate (sketch) surface with bounded-error contracts.
 
-These operators are deliberately NOT in the oracle registry: their
-outputs are estimator-dependent (HyperLogLog++, KLL/GK quantiles,
-Count-Min), so a DuckDB value-hash comparison would pin implementation
-details rather than semantics. The correct contract is an error bound
-against the exact answer computed by the engine itself — the same
-shape the reference's counter-based approximations would need.
+The ENGINE-NATIVE operators here (HyperLogLog++, KLL/GK quantiles,
+Count-Min) are deliberately NOT in the oracle registry: their outputs
+are estimator-dependent, so a DuckDB value-hash comparison would pin
+implementation details rather than semantics. The correct contract is
+an error bound against the exact answer computed by the engine itself
+— the same shape the reference's counter-based approximations would
+need. The KMV sketch (functions/sketch.py) is the one EXCEPTION
+(ADVICE r10): its estimate is a single arithmetic expression over
+md5-derived hashes, bit-identical across engines, so it IS
+oracle-registered (`distinct_kmv_sketch`, `distinct_kmv_incremental`)
+while HLL/KLL/CMS remain error-bound-only; its merge/associativity
+invariants are pinned below.
 
 At 100 TB these are the *default* forms: exact COUNT(DISTINCT) is a
 full shuffle of every key, while HLL++ is a fixed 2^p-byte sketch per
@@ -180,6 +186,20 @@ def test_kmv_estimate_error_and_salt_invariance(spark):
     assert est["sketch_size"] == SK.KMV_K
     se = 1.0 / (SK.KMV_K - 2) ** 0.5
     assert abs(est["est_distinct"] - n) <= 4 * se * n
+
+
+def test_kmv_estimate_rejects_smaller_k(spark, sf_dir):
+    """kmv_estimate(k) with a k SMALLER than the sketch's build-time k
+    must raise at runtime instead of silently mis-estimating (ADVICE
+    r10): any group whose sketch holds more rows than the declared k
+    proves the mismatch. (A too-LARGE k is undetectable from the rows
+    alone — documented on kmv_estimate.)"""
+    from mapreducelearnings_spark.functions import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, "event_type", "user_id")  # k = 64
+    with pytest.raises(Exception, match="kmv_estimate"):
+        SK.kmv_estimate(sk, "event_type", k=1).collect()
 
 
 def test_kmv_sketch_drops_null_ids(spark):

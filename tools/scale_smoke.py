@@ -76,6 +76,11 @@ HEAVY = [
     "ann_pq64_adc_topk",
     "ann_ivf_pq64_residual_topk",
     "ann_index_append_topk",
+    # round-11: the sublinear-by-design family measured one decade
+    # deeper (VERDICT r10 Next #4) + the SLA read path
+    "distinct_kmv_sketch",
+    "distinct_kmv_incremental",
+    "ann_index_sla_topk",
 ]
 
 
