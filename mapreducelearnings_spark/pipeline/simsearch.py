@@ -1753,7 +1753,7 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
 #   pre-rank column + budget            recall@5 at worst density
 #   absolute pq_code + log-n auto       0.325–0.725 (code-width bound)
 #   residual rq_code + log-n auto       0.775–0.800 (compressed floor)
-#   residual rq_code + 2.7 % of corpus  0.95
+#   residual rq_code + 4 % of corpus    ≥0.95 at every measured density
 #   exact (no pre-rank, probed cells)   1.0 (reads n_probes/n_cells)
 #
 # ann_index_topk(recall_sla=...) picks the cheapest row of that table
@@ -1762,9 +1762,14 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
 # API knob instead of prose.
 # ---------------------------------------------------------------------------
 
-#: Exact-rerank fraction at which the residual pre-rank crossed 0.9
-#: recall at the worst measured density (R = 1 600 / 60 000 = 2.7 %).
-SLA_RERANK_FRACTION = 0.027
+#: Exact-rerank fraction of the ≥0.9 SLA budget. The 30× measurement
+#: alone suggested 2.7 % (R = 1 600 / 60 000 → 0.95), but the fraction
+#: must hold at EVERY density the SLA can meet, and the round-11 10×
+#: re-measurement showed 2.7 % collapsing into the auto budget there
+#: (R = 560 → 0.825 < SLA). 4 % is the calibrated envelope: R = 800 at
+#: 10× → 0.975, R = 2 400 at 30× → ≥0.95 (monotone above the measured
+#: 1 600 → 0.95), and at 1× the auto budget dominates anyway (1.0).
+SLA_RERANK_FRACTION = 0.04
 #: Measured recall floor of the residual pre-rank under the log-n auto
 #: budget at the worst density — SLAs above it need the fraction budget.
 SLA_COMPRESSED_FLOOR = 0.80
@@ -1777,7 +1782,8 @@ def sla_rerank_rows(n_vectors: int, k: int = 5) -> int:
     """The ≥0.9-SLA exact-rerank row budget for a stored corpus of
     ``n_vectors``: never below the log-n auto budget (which carries
     recall at low density where the fraction would undershoot), the
-    measured 2.7 % fraction above it. Integer arithmetic only, so the
+    calibrated 4 % fraction above it (see :data:`SLA_RERANK_FRACTION`
+    for the two-density calibration). Integer arithmetic only, so the
     DuckDB oracle reproduces it exactly via GREATEST(auto, CEIL(...))."""
     import math
 

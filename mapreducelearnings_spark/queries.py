@@ -4947,10 +4947,11 @@ def _session_index(spark: SparkSession, sf_dir: str) -> str:
     "index read path (VERDICT r10 Next #2): "
     "ann_index_topk(recall_sla=0.9) picks the RESIDUAL code column "
     "for pre-rank and sizes the exact-rerank budget from the stored "
-    "index's own row count — max(log-n auto budget, ceil(2.7% × n)), "
-    "the fraction at which the residual pre-rank measured 0.95 recall "
-    "at the worst 30× density (PERFORMANCE.md '30× recall, "
-    "revisited'); SLAs above 0.95 switch to the exact path (recall "
+    "index's own row count — max(log-n auto budget, ceil(4% × n)), "
+    "the fraction calibrated across BOTH measured hard densities "
+    "(10×: R=800 → 0.975; 30×: R=2400 → ≥0.95 — the 30×-only 2.7% "
+    "collapsed into the auto budget at 10× and missed the SLA at "
+    "0.825); SLAs above 0.95 switch to the exact path (recall "
     "1.0 within probed cells). Integer-exact budget arithmetic on "
     "both engines (GREATEST/CEIL over a COUNT), so the "
     "SLA-configured approximate result stays fully oracle-checked. "

@@ -9,7 +9,10 @@ against that boundary without re-running the full bench ladder.
 
 Usage: python tools/ann_recall_probe.py [sf_dir] [path ...]
 Paths: pq (4-bit ADC), pq64 (8-bit ADC), ivf_pq, ivf_pq64, hamming,
-ivf (exact rerank). Default: pq pq64 ivf_pq64.
+ivf (exact rerank), index_sla (on-disk index, recall_sla=0.9 →
+residual pre-rank + max(auto, ceil(2.7%·n)) budget), index_sla_exact
+(recall_sla=1.0 → exact scoring of probed cells). Default: pq pq64
+ivf_pq64.
 """
 
 from __future__ import annotations
@@ -47,6 +50,11 @@ def main() -> int:
             sum(len(truth[q] & got.get(q, set())) for q in truth) / n_truth, 4
         )
 
+    def _index_path():
+        from mapreducelearnings_spark import queries as Q
+
+        return Q._session_index(spark, sf_dir)
+
     paths = {
         "pq": lambda: SS.pq_adc_topk(emb, n_queries=8, k=5),
         "pq64": lambda: SS.pq_adc_topk(emb, n_queries=8, k=5, pq_k=SS.PQ_K64),
@@ -56,11 +64,21 @@ def main() -> int:
         ),
         "hamming": lambda: SS.hamming_ann_topk(emb, n_queries=8, k=5),
         "ivf": lambda: SS.ivf_topk(emb, n_queries=8, k=5),
+        "ivf_pq64_residual": lambda: SS.ivf_pq_residual_topk(
+            emb, n_queries=8, k=5
+        ),
+        "index_sla": lambda: SS.ann_index_topk(
+            spark, _index_path(), emb, n_queries=8, k=5, recall_sla=0.9
+        ),
+        "index_sla_exact": lambda: SS.ann_index_topk(
+            spark, _index_path(), emb, n_queries=8, k=5, recall_sla=1.0
+        ),
     }
     out = {
         "sf_dir": sf_dir,
         "n_vectors": n,
         "auto_rerank_R": 5 * SS.hamming_auto_mult(n),
+        "sla_rerank_R": SS.sla_rerank_rows(n, 5),
         "recall_at_5": {},
         "sec": {},
     }
