@@ -45,6 +45,11 @@ def main() -> int:
     from mapreducelearnings_spark.session import get_spark
 
     spark = get_spark("sublinear_probe", shuffle_partitions=32)
+    # throwaway warmup: the first timed query otherwise absorbs ~6 s of
+    # JVM/codegen startup and corrupts its base-side ratio (observed on
+    # the first 100× run: distinct_kmv_sketch base 6.98 s vs its 0.84 s
+    # clean min-of-3)
+    Q.REGISTRY["pricing_summary"].spark(spark, BASE_SF).count()
     results: dict[str, dict] = {}
 
     def timed(fn) -> tuple[float, int]:
