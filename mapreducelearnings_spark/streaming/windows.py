@@ -534,6 +534,128 @@ def run_stateful_stream_to_memory(
     q.awaitTermination()
 
 
+def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming KMV distinct-count: per-group running COUNT DISTINCT
+    estimate with BOUNDED keyed state — the streaming twin of the
+    batch sketch (`functions/sketch.py`, queries `distinct_kmv_sketch`
+    / `distinct_kmv_incremental`), and the reason sketches exist in
+    streaming at all: an exact streaming COUNT DISTINCT must hold every
+    id it has ever seen in the state store forever (state ∝ distinct
+    domain — unbounded on a 100 TB/day stream), while the KMV state is
+    the k smallest distinct md5-hashes per group — k longs, however
+    many billions of ids flow past.
+
+    The hash stays a JVM-side codegen column (`md5_long` computed
+    BEFORE the stateful operator, exactly the batch expression); the
+    Python state function only merges sorted longs, so the Arrow
+    boundary carries (group, u) pairs, never raw ids. Each microbatch's
+    update is precisely :func:`..functions.sketch.kmv_merge` semantics
+    (union → re-rank to k — trimming to the k smallest is safe at any
+    point, the mergeability the batch pytest pins), and the estimator
+    is float64-for-float64 the batch `_estimate_expr`, so after
+    draining a bounded source the final state matches the batch sketch
+    EXACTLY — not within an error bound (asserted by
+    tests/test_streaming_stateful.py::test_kmv_distinct_stream_matches_batch,
+    including a multi-microbatch split drain).
+
+    Output (update mode): one row per (microbatch, group) —
+    (event_type, sketch_size, est_distinct, rows_seen); rows_seen is
+    monotone per group, so the final state is the max-rows_seen row.
+    NoTimeout: a running distinct count never expires."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions import text as X
+    from ..functions.sketch import KMV_HASH_BASE
+
+    hashed = events.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        X.md5_long(F.col("user_id").cast("string")).alias("u"),
+    )
+    out_schema = (
+        "event_type STRING, sketch_size LONG, est_distinct DOUBLE, "
+        "rows_seen LONG"
+    )
+    state_schema = "hashes ARRAY<LONG>, rows_seen LONG"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        if state.exists:
+            stored, seen = state.get
+            hs = {int(x) for x in stored}
+        else:
+            hs, seen = set(), 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            hs.update(int(x) for x in pdf["u"])
+            if len(hs) > 4 * k:  # amortized trim; k-smallest is
+                hs = set(sorted(hs)[:k])  # merge-safe at any point
+        sk = [int(x) for x in sorted(hs)[:k]]
+        state.update((sk, seen))
+        m = len(sk)
+        if m < k:
+            est = float(m)
+        else:
+            # float64-for-float64 the batch _estimate_expr: every
+            # operand exactly representable, one IEEE division, the
+            # cross-engine floor quantization
+            est = (
+                math.floor(
+                    (float(k - 1) * float(KMV_HASH_BASE) / float(sk[-1] + 1))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "sketch_size": [m],
+                "est_distinct": [est],
+                "rows_seen": [seen],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_kmv_distinct_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str = "kmv_distinct",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain the bounded events source through the streaming KMV
+    sketch (availableNow) into a memory sink; ``max_files_per_trigger``
+    + a multi-file source dir forces multiple microbatches, exercising
+    the cross-batch state merge."""
+    agg = kmv_distinct_stream(
+        stream_events(
+            spark,
+            sf_dir,
+            glob=glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-STATIC enrichment join + aggregation: the unbounded event
     stream joins the bounded customer dim (broadcast — the dim rides to

@@ -149,6 +149,65 @@ def test_foreachbatch_upsert_totals_and_replay_safety(spark, sf_dir, tmp_path):
     assert got2 == want
 
 
+def test_kmv_distinct_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming KMV distinct-count ≡ the batch sketch, EXACTLY (not
+    within an error bound): the state is the k smallest distinct
+    md5-hashes per group, each microbatch update is kmv_merge
+    semantics, and the estimator is float64-for-float64 the batch
+    expression. Drained over a 3-file split source at
+    maxFilesPerTrigger=1 so the cross-microbatch state merge is
+    actually exercised, plus the bounded-state contract
+    (sketch_size ≤ k — the reason this exists: exact streaming
+    COUNT DISTINCT state grows with the id domain, the sketch's
+    doesn't)."""
+    import pyarrow.parquet as pq
+
+    from mapreducelearnings_spark.functions import sketch as SK
+
+    # split the events file into 3 source files → 3 microbatches
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    n = t.num_rows
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        pq.write_table(t.slice(lo, hi - lo), str(src / f"e{i}.parquet"))
+
+    SW.run_kmv_distinct_stream_to_memory(
+        spark,
+        str(src),
+        table_name="t_kmv",
+        glob="*.parquet",
+        max_files_per_trigger=1,
+    )
+    updates = spark.sql("SELECT * FROM t_kmv").collect()
+    keys = {r["event_type"] for r in updates}
+    # update mode emits one row per (microbatch, group): more rows than
+    # groups proves the state actually merged across microbatches
+    assert len(updates) > len(keys)
+    final = {
+        r["event_type"]: (r["sketch_size"], r["est_distinct"])
+        for r in spark.sql(
+            """
+            SELECT event_type, sketch_size, est_distinct FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY rows_seen DESC) AS rn
+              FROM t_kmv) WHERE rn = 1
+            """
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["event_type"]: (r["sketch_size"], r["est_distinct"])
+        for r in SK.kmv_estimate(
+            SK.kmv_sketch(ev, "event_type", "user_id"), "event_type"
+        ).collect()
+    }
+    assert final == batch
+    assert all(m <= SK.KMV_K for m, _ in final.values())
+
+
 def test_foreachbatch_upsert_multibatch_merge_and_crash_recovery(
     spark, sf_dir, tmp_path
 ):
