@@ -930,12 +930,26 @@ def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):
     emb = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ann_index_prune")
     SS.ann_index_write(emb, path)
-    df = SS.ann_index_topk(spark, path, emb, n_queries=2, k=3)
-    plan = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "PartitionFilters" in plan
-    assert "cell IN" in plan or "cell#" in plan.split("PartitionFilters")[1].split("]")[0]
+    def assert_pruned(df):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "PartitionFilters" in plan
+        assert (
+            "cell IN" in plan
+            or "cell#" in plan.split("PartitionFilters")[1].split("]")[0]
+        )
+
+    assert_pruned(SS.ann_index_topk(spark, path, emb, n_queries=2, k=3))
+    # every SLA rung reads through the same probe-cell pruning — the
+    # exact path's whole scan-budget claim (reads n_probes/n_cells) IS
+    # this filter, so it's plan-asserted, not just documented
+    for sla in (0.5, 0.9, 1.0):
+        assert_pruned(
+            SS.ann_index_topk(
+                spark, path, emb, n_queries=2, k=3, recall_sla=sla
+            )
+        )
 
 
 def test_streaming_session_windows_match_closed_batch_sessions(spark, sf_dir):
