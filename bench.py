@@ -346,7 +346,7 @@ def _ann_recall_at_k(spark, sf_dir: str) -> dict[str, float]:
             SS.ivf_pq_residual_topk(emb, n_queries=8, k=5).collect()
         ),
         # round-11: the SLA-configured on-disk read path (residual
-        # pre-rank, max(auto, 2.7%·n) budget) — recall printed next to
+        # pre-rank, max(auto, SLA_RERANK_FRACTION·n) budget) — recall next to
         # its headline timing so the SLA claim is measured, not quoted
         "ann_index_sla_topk": recall(
             REGISTRY["ann_index_sla_topk"].spark(spark, sf_dir).collect()
@@ -468,8 +468,17 @@ def main() -> None:
     # miss (they sample ~2 s; loadavg integrates a minute), so a run
     # started on a visibly busy host is flagged regardless of probe
     # luck. AFTER-load is excluded: it mostly measures the bench's own
-    # 32-thread work decaying.
-    _LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_CAL_LOADAVG_MAX", "3.0"))
+    # 32-thread work decaying. The default threshold scales with the
+    # host's core count (ADVICE r11 — a fixed 3.0 is ~10% utilization
+    # on this 32-thread host but would flag near-idle 8-core hosts):
+    # 0.1 runnable tasks per core, floored at 1.5 so tiny hosts still
+    # get a meaningful leading indicator; absolute override via env.
+    _LOADAVG_MAX = float(
+        os.environ.get(
+            "SPARK_GRAFT_CAL_LOADAVG_MAX",
+            str(max(1.5, 0.1 * (os.cpu_count() or 32))),
+        )
+    )
     contended = (
         any(
             p > _CALIBRATION_REF_SEC * (1 + _CALIBRATION_TOL)
@@ -491,11 +500,32 @@ def main() -> None:
         w == w and w < _CALIBRATION_WIDE_REF_SEC * (1 - _CALIBRATION_TOL)
         for w in (wide_before, wide_after)
     )
-    total = round(sum(timings.values()), 4)
+    # Read-path headline (VERDICT r11 Next #5): a chain entry's ingest
+    # phases (build/append — one-time ∝-corpus I/O by its cost model)
+    # must not read as query latency in the headline sum; ~82% of the
+    # 14 s ann_index_append_topk row was ingest inside a 127 s total.
+    # The headline counts only the query phase of phase-split entries;
+    # the full chain time stays recorded per-query in `queries` and in
+    # `full_total_sec`, the excluded ingest itemized alongside.
+    full_total = round(sum(timings.values()), 4)
+    ingest_excluded = {}
+    read_path = dict(timings)
+    for name, ph in phases.items():
+        if name in read_path and "query_sec" in ph:
+            ingest_excluded[name] = round(
+                sum(v for p, v in ph.items() if p != "query_sec"), 4
+            )
+            read_path[name] = ph["query_sec"]
+    total = round(sum(read_path.values()), 4)
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "headline_policy": "read-path: phase-split chain entries "
+        "contribute only their query phase; declared ingest phases "
+        "itemized in ingest_excluded_sec and included in full_total_sec",
+        "full_total_sec": full_total,
+        "ingest_excluded_sec": ingest_excluded,
         "queries": timings,
         # Python-execution API demos, excluded from `value` by policy —
         # see SURFACE_TWINS above.

@@ -78,9 +78,18 @@ def kmv_sketch(
     k: int = KMV_K,
     salt_mod: int = 8,
 ) -> DataFrame:
-    """Per-group KMV sketch: (group_col, u) rows, the ≤ k smallest
+    """Per-group KMV sketch: (group_col, u, k) rows, the ≤ k smallest
     distinct 60-bit md5 hashes of ``id_col`` — the bounded mergeable
-    state a 100 TB distinct-count job ships between stages."""
+    state a 100 TB distinct-count job ships between stages.
+
+    The build-time ``k`` is CARRIED with the sketch as a constant
+    column (VERDICT r11 #2): both the m<k exact branch and the (k-1)
+    estimator numerator depend on it, and a sketch shipped between
+    jobs (parquet, a message bus) would otherwise rely on out-of-band
+    agreement. :func:`kmv_merge` and :func:`kmv_estimate` read k from
+    the rows and RAISE on any mismatch — including the previously
+    undetectable too-large case (a full k=64 sketch estimated at
+    k=128 would silently take the not-full exact branch)."""
     # NULL ids are dropped explicitly: a null hashes to null, which the
     # two engines then ORDER differently (Spark ranks nulls FIRST,
     # DuckDB LAST) — and a null contributes nothing to a distinct count
@@ -92,75 +101,146 @@ def kmv_sketch(
         group_col,
         k,
         salt_mod,
-    )
+    ).withColumn("k", F.lit(int(k)))
+
+
+def _checked_k(group_col: str, caller: str) -> Column:
+    """Column expression: the carried per-group k, validated consistent
+    WITHIN each group at runtime — min(k) over the group must equal
+    max(k), else the rows came from sketches built with different k and
+    any merge/estimate over them is meaningless; raise instead of
+    silently mixing. The window is over ≤ a few k rows per group
+    (sketch frames only)."""
+    wk = Window.partitionBy(group_col)
+    kmin, kmax = F.min("k").over(wk), F.max("k").over(wk)
+    return F.when(
+        kmin != kmax,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{caller}: mixed build-time k within group "
+                    "(sketches built with different k cannot be "
+                    "combined) — group="
+                ),
+                F.col(group_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("k"))
 
 
 def kmv_merge(
-    s1: DataFrame, s2: DataFrame, group_col: str, k: int = KMV_K
+    s1: DataFrame, s2: DataFrame, group_col: str, k: int | None = None
 ) -> DataFrame:
     """Merge two sketches: union of their hash sets, re-ranked to the k
     smallest. The salted prune is skipped — inputs are ≤ k rows per
-    group each by construction. ``k`` must equal the build-time k of
-    BOTH inputs (see :func:`kmv_estimate` on why a mismatch cannot be
-    fully detected from the rows alone)."""
+    group each by construction. ``k`` is read from the CARRIED column
+    of the rows themselves and validated consistent across both inputs
+    per group (VERDICT r11 #2); passing ``k`` explicitly additionally
+    asserts the carried value equals it (raises at runtime otherwise)."""
     w = Window.partitionBy(group_col).orderBy("u")
-    return (
+    merged = (
         s1.unionByName(s2)
         .distinct()
+        .withColumn("k", _checked_k(group_col, "kmv_merge"))
+    )
+    kcol = F.col("k")
+    if k is not None:
+        kcol = F.when(
+            F.col("k") != int(k),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"kmv_merge(k={k}) does not match the sketch's "
+                        "carried build-time k="
+                    ),
+                    F.col("k").cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("k"))
+    return (
+        merged.withColumn("k", kcol)
         .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
+        .where(F.col("_rn") <= F.col("k"))
         .drop("_rn")
     )
 
 
-def _estimate_expr(m: Column, umax: Column, k: int) -> Column:
+def _estimate_expr(m: Column, umax: Column, kcol: Column) -> Column:
     """(k-1)/h_k with h_k = (umax+1)/2^60, quantized to 4 decimals via
     the cross-engine-exact IEEE floor form; a sketch that never filled
     (m < k) has seen every distinct hash, so the exact m is returned.
-    Every operand is an exactly-representable double (k-1 and 2^60 are
-    small-mantissa; umax+1 rounds identically in both engines), so the
-    single division is bit-identical to the DuckDB oracle's."""
-    est = (F.lit(float(k - 1)) * F.lit(float(KMV_HASH_BASE))) / (
-        umax + F.lit(1)
-    ).cast("double")
-    return F.when(m < k, m.cast("double")).otherwise(
+    Every operand is an exactly-representable double (k-1 is a small
+    int, 2^60 a power of two, and their product exact for every k the
+    sketch can carry; umax+1 rounds identically in both engines), so
+    the single division is bit-identical to the DuckDB oracle's."""
+    est = (
+        (kcol - F.lit(1)).cast("double") * F.lit(float(KMV_HASH_BASE))
+    ) / (umax + F.lit(1)).cast("double")
+    return F.when(m < kcol, m.cast("double")).otherwise(
         F.floor(est * 10000 + F.lit(0.5)) / 10000
     )
 
 
 def kmv_estimate(
-    sketch: DataFrame, group_col: str, k: int = KMV_K
+    sketch: DataFrame, group_col: str, k: int | None = None
 ) -> DataFrame:
     """Distinct-count estimate from a sketch frame: one partial-agg
     shuffle over ≤ k rows per group. Columns: (group_col, sketch_size,
     est_distinct).
 
-    ``k`` MUST equal the ``k`` the sketch was built (and merged) with —
-    both the m<k exact branch and the (k-1) numerator depend on it
-    (ADVICE r10). A too-small ``k`` is caught at runtime: any group
-    whose sketch holds more than ``k`` rows raises instead of silently
-    mis-estimating. A too-LARGE ``k`` is undetectable from the rows
-    alone (a full k=64 sketch looks like an unfilled k=128 one and
-    takes the exact branch, underestimating) — callers that ship
-    sketches between jobs should carry k out-of-band, as the registry
-    queries do via the module constant :data:`KMV_K`."""
+    The estimator's ``k`` comes from the sketch's CARRIED column
+    (VERDICT r11 #2), validated consistent per group, so a mismatched
+    estimate is impossible by construction: the previously
+    undetectable too-LARGE case (a full k=64 sketch estimated at
+    k=128 silently taking the not-full exact branch) now raises, as
+    does the too-small case. Passing ``k`` explicitly asserts the
+    carried value equals it — the migration path for callers that
+    used to pass the build-time k by hand."""
     agg = sketch.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("sketch_size"),
         F.max("u").alias("_umax"),
+        F.min("k").alias("_kmin"),
+        F.max("k").alias("_kmax"),
     )
-    guarded = F.when(
-        F.col("sketch_size") > k,
+    kcol = F.when(
+        F.col("_kmin") != F.col("_kmax"),
         F.raise_error(
             F.concat(
                 F.lit(
-                    f"kmv_estimate(k={k}) saw a sketch with more rows "
-                    "than k — built with a larger k? group="
+                    "kmv_estimate: mixed build-time k within group "
+                    "(sketches built with different k cannot be "
+                    "combined) — group="
+                ),
+                F.col(group_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("_kmax"))
+    if k is not None:
+        kcol = F.when(
+            F.col("_kmax") != int(k),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"kmv_estimate(k={k}) does not match the "
+                        "sketch's carried build-time k="
+                    ),
+                    F.col("_kmax").cast("string"),
+                )
+            ).cast("int"),
+        ).otherwise(kcol)
+    guarded = F.when(
+        F.col("sketch_size") > kcol,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "kmv_estimate saw a sketch with more rows than its "
+                    "carried k — corrupted sketch rows? group="
                 ),
                 F.col(group_col).cast("string"),
             )
         ).cast("double"),
     ).otherwise(
-        _estimate_expr(F.col("sketch_size"), F.col("_umax"), k)
+        _estimate_expr(F.col("sketch_size"), F.col("_umax"), kcol)
     )
     return agg.select(
         group_col,

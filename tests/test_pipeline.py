@@ -840,8 +840,9 @@ def test_ann_index_recall_sla_ladder(spark, sf_dir, tmp_path):
     """ann_index_topk(recall_sla=...) must dispatch to the measured
     ladder rung the SLA requires (VERDICT r10 Next #2): >0.95 → the
     exact path (bit-identical to the in-memory exact-rerank IVF);
-    (0.8, 0.95] → the residual pre-rank with the max(auto, ceil(2.7%·n))
-    budget; ≤0.8 → the residual pre-rank under the auto budget. And the
+    (0.8, 0.95] → the residual pre-rank with the max(auto,
+    ceil(SLA_RERANK_FRACTION·n)) budget (4% — the two-density
+    calibration on the constant's own docstring); ≤0.8 → the residual pre-rank under the auto budget. And the
     knob is mutually exclusive with an explicit rerank_mult."""
     from mapreducelearnings_spark.pipeline import simsearch as SS
 
@@ -919,6 +920,47 @@ def test_ann_index_append_rejects_seed_range_ids(spark, sf_dir, tmp_path):
         SS.ann_index_append(
             spark, path, emb.where(F.col("vec_id") < 300)
         )
+
+
+def test_ann_index_ingest_releases_cache_on_failure(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The ingest jobs persist their ∝-corpus working frames for the
+    multi-consumer plan; a failure ANYWHERE after the first persist —
+    including plan construction inside the try — must release them via
+    the finally instead of leaking session cache storage (VERDICT r11
+    #1). Poison the cell-assignment step and assert the session's SQL
+    cache is empty after both the write and the append raise."""
+    import pytest
+
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # a valid stored index first, so the append path reaches its persist
+    # (cut at 300 keeps the append batch non-empty at the smoke scale)
+    path = str(tmp_path / "ann_index_leak")
+    SS.ann_index_write(emb.where(F.col("vec_id") < 300), path)
+
+    def cache_empty() -> bool:
+        return bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+
+    spark.catalog.clearCache()
+    assert cache_empty()
+
+    def boom(*a, **k):
+        raise RuntimeError("poisoned ingest")
+
+    monkeypatch.setattr(SS, "_assign_cells", boom)
+    with pytest.raises(RuntimeError, match="poisoned ingest"):
+        SS.ann_index_write(emb, str(tmp_path / "ann_index_leak2"))
+    assert cache_empty(), "ann_index_write leaked persisted frames"
+    with pytest.raises(RuntimeError, match="poisoned ingest"):
+        SS.ann_index_append(
+            spark, path, emb.where(F.col("vec_id") >= 300)
+        )
+    assert cache_empty(), "ann_index_append leaked persisted frames"
 
 
 def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):

@@ -10,7 +10,8 @@ against that boundary without re-running the full bench ladder.
 Usage: python tools/ann_recall_probe.py [sf_dir] [path ...]
 Paths: pq (4-bit ADC), pq64 (8-bit ADC), ivf_pq, ivf_pq64, hamming,
 ivf (exact rerank), index_sla (on-disk index, recall_sla=0.9 →
-residual pre-rank + max(auto, ceil(2.7%·n)) budget), index_sla_exact
+residual pre-rank + max(auto, ceil(SLA_RERANK_FRACTION·n)) budget,
+4% per the two-density calibration), index_sla_exact
 (recall_sla=1.0 → exact scoring of probed cells). Default: pq pq64
 ivf_pq64.
 """
