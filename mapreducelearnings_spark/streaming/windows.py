@@ -342,22 +342,43 @@ def stream_documents(
     src_dir: str,
     watermark: str = "1 hour",
     glob: str = "documents.parquet",
+    arrival_period_s: int = 1,
+    arrival_spread_s: int = 600,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the documents parquet. The table carries
     no event time, so ingest time is derived DETERMINISTICALLY from
-    doc_id (epoch + doc_id mod 600 s — a 10-minute arrival spread):
-    the stream≡batch/oracle contracts need every run to see identical
+    doc_id (epoch + (doc_id mod arrival_spread_s) · arrival_period_s;
+    the defaults give the historical 10-minute arrival spread): the
+    stream≡batch/oracle contracts need every run to see identical
     event times, which wall-clock ingest time would break. A real
-    crawl feed would carry its own fetch timestamp here."""
-    raw = (
+    crawl feed would carry its own fetch timestamp here.
+
+    The two arrival knobs exist for the state-eviction contract
+    (VERDICT r11 Next #4): the default spread keeps the WHOLE corpus
+    inside one join window — right for the drain-equals-batch parity
+    fixtures, but it means the watermark never passes anything and
+    join state grows with the drained corpus. A long-running ingest
+    stream instead has time ADVANCING under it; `arrival_spread_s`
+    wide enough to never wrap plus an `arrival_period_s` that spaces
+    arrivals across many windows models exactly that, and is what the
+    eviction pytest and the 100× state-curve probe drive."""
+    reader = (
         spark.readStream.schema(DOCS_RAW_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", glob)
-        .load(src_dir)
     )
+    if max_files_per_trigger is not None:
+        # caps each availableNow microbatch so a multi-file source dir
+        # actually exercises cross-batch watermark advancement
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(src_dir)
     docs = raw.withColumn(
         "ts",
-        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 600),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000)
+            + (F.col("doc_id") % arrival_spread_s) * arrival_period_s
+        ),
     )
     return docs.withWatermark("ts", watermark)
 
@@ -432,7 +453,12 @@ def run_streaming_lsh_to_memory(
     src_dir: str,
     table_name: str = "stream_lsh_pairs",
     shuffle_partitions: int | None = None,
-) -> None:
+    glob: str = "documents.parquet",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+    arrival_period_s: int = 1,
+    arrival_spread_s: int = 600,
+) -> list:
     """Drain the bounded documents source through the candidate stream
     into an append-mode memory sink (availableNow backfill pattern).
 
@@ -449,16 +475,35 @@ def run_streaming_lsh_to_memory(
     every driver/bench scale, 25 at the 10× smoke (re-measured ratio
     in PERFORMANCE.md r9). At real ingest volume the same rule scales
     with the arrival window's volume; nothing in the query shape
-    changes."""
+    changes.
+
+    Returns the drain's per-microbatch progress list (each entry a
+    parsed ``StreamingQueryProgress`` dict): ``stateOperators[*].
+    numRowsTotal`` across those entries IS the state-store occupancy
+    curve, which the eviction pytest and the 100× probe assert stays
+    bounded by the watermark horizon — not by the corpus — once event
+    time advances under the stream (VERDICT r11 Next #4). The default
+    single-batch drain returns one entry."""
+    import json as _json
+
     from ..plans.iterate import loop_conf
 
     if shuffle_partitions is None:
-        n_docs = spark.read.parquet(f"{src_dir}/documents.parquet").count()
+        n_docs = spark.read.parquet(f"{src_dir}/{glob}").count()
         shuffle_partitions = max(8, min(32, n_docs // 2000))
     _quiet_streaming_join_helper(spark)
     with loop_conf(spark, shuffle_partitions):
+        src = stream_documents(
+            spark,
+            src_dir,
+            watermark=watermark,
+            glob=glob,
+            arrival_period_s=arrival_period_s,
+            arrival_spread_s=arrival_spread_s,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         q = (
-            streaming_lsh_candidates(stream_documents(spark, src_dir))
+            streaming_lsh_candidates(src)
             .writeStream.format("memory")
             .queryName(table_name)
             .outputMode("append")
@@ -466,6 +511,7 @@ def run_streaming_lsh_to_memory(
             .start()
         )
         q.awaitTermination()
+        return [_json.loads(p.json) for p in q.recentProgress]
 
 
 # ---------------------------------------------------------------------------
