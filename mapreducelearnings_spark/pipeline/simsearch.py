@@ -1750,6 +1750,37 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
         _CORPUS_SIZE_CACHE.clear()
 
 
+def ann_index_compact(spark, path: str) -> None:
+    """Compact the cell-partitioned on-disk index in place (VERDICT
+    r11 Next #6): daily :func:`ann_index_append` batches accrete one
+    small parquet file per cell per append, and at 100 TB the file
+    COUNT — a task + open + footer parse each at read time — becomes
+    the scheduler bottleneck long before the bytes do. One maintenance
+    pass rewrites every cell directory down to a single file via the
+    shared atomic-rename publish (:func:`..sources.io.compact_parquet`
+    with ``partition_by=("cell",)``), PRESERVING the per-cell layout
+    that partition pruning needs — a flat compaction would destroy the
+    read path's n_probes/n_cells scan bound.
+
+    The row SET is untouched, so every read is bit-identical pre/post
+    (queries rank with full deterministic tiebreaks; nothing depends
+    on file order) — pinned by
+    tests/test_pipeline.py::test_ann_index_compact_bit_identical,
+    which also asserts the file-count reduction and that partition
+    pruning still prunes post-compaction. Cost model: one read + one
+    write of the index (∝ index), scheduled in the maintenance window
+    — the same single-writer caveat as compact_parquet."""
+    from ..sources.io import compact_parquet
+
+    compact_parquet(spark, path, target_files=1, partition_by=("cell",))
+    # The rewrite does not change the count, but semanticHash keying is
+    # path-plan based and cheap to refresh defensively alongside.
+    try:
+        _CORPUS_SIZE_CACHE.pop(spark.read.parquet(path).semanticHash(), None)
+    except Exception:  # pragma: no cover - plan not hashable (connect etc.)
+        _CORPUS_SIZE_CACHE.clear()
+
+
 # ---------------------------------------------------------------------------
 # Recall-SLA configuration of the on-disk index read path (VERDICT r10
 # Next #2). The measured ladder (PERFORMANCE.md "30× recall,

@@ -175,7 +175,10 @@ def write_zordered(
 
 
 def compact_parquet(
-    spark: SparkSession, path: str, target_files: int
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    partition_by: tuple[str, ...] = (),
 ) -> None:
     """Small-files compaction — the operational fix for streaming/
     incremental sinks that accrete thousands of tiny files (each file
@@ -190,7 +193,16 @@ def compact_parquet(
     or use a table format with a manifest/metadata pointer (the real
     100 TB answer) for lock-free swaps. Crash recovery: if the process
     dies between the renames, the data is intact under
-    ``<path>.__compact_old`` — restore with a single rename back."""
+    ``<path>.__compact_old`` — restore with a single rename back.
+
+    ``partition_by`` preserves a hive-partitioned layout through the
+    rewrite (VERDICT r11 Next #6 — the ANN index's per-cell dirs ARE
+    its partition pruning, so compaction must never flatten them):
+    rows are shuffled onto their partition values so each partition
+    directory comes out as ONE file (``target_files`` then bounds the
+    total only indirectly and is ignored per-partition)."""
+    from pyspark.sql import functions as F
+
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -199,7 +211,15 @@ def compact_parquet(
     new_p = jvm.org.apache.hadoop.fs.Path(new_path)
     old_p = jvm.org.apache.hadoop.fs.Path(old_path)
     fs.delete(new_p, True)
-    spark.read.parquet(path).coalesce(target_files).write.parquet(new_path)
+    df = spark.read.parquet(path)
+    if partition_by:
+        (
+            df.repartition(*[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+            .parquet(new_path)
+        )
+    else:
+        df.coalesce(target_files).write.parquet(new_path)
     fs.delete(old_p, True)
     fs.rename(jpath, old_p)
     fs.rename(new_p, jpath)

@@ -963,6 +963,62 @@ def test_ann_index_ingest_releases_cache_on_failure(
     assert cache_empty(), "ann_index_append leaked persisted frames"
 
 
+def test_ann_index_compact_bit_identical(spark, sf_dir, tmp_path):
+    """Small-files maintenance for the appended index (VERDICT r11
+    Next #6): after two daily appends every cell directory holds three
+    parquet files; ann_index_compact must rewrite each cell down to ONE
+    file while (a) preserving the cell-partitioned layout partition
+    pruning depends on, and (b) leaving every read path bit-identical —
+    the row set is untouched and all rankings carry deterministic
+    tiebreaks, so compaction can never change a result."""
+    import glob as _glob
+
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = SS.corpus_size(emb)
+    # first cut must clear the quantizer seed range (ids < PQ_K64 seed
+    # the codebooks); smoke corpus is 500 docs → cuts at 300/400
+    c1 = max(SS.PQ_K64 + 44, n // 2)
+    c2 = max(c1 + 1, 4 * n // 5)
+    path = str(tmp_path / "ann_index_compact")
+    SS.ann_index_write(emb.where(F.col("vec_id") < c1), path)
+    SS.ann_index_append(
+        spark, path, emb.where((F.col("vec_id") >= c1) & (F.col("vec_id") < c2))
+    )
+    SS.ann_index_append(spark, path, emb.where(F.col("vec_id") >= c2))
+
+    def cell_files() -> dict[str, int]:
+        out: dict[str, int] = {}
+        for d in _glob.glob(f"{path}/cell=*"):
+            out[d.rsplit("/", 1)[-1]] = len(_glob.glob(f"{d}/*.parquet"))
+        return out
+
+    def reads() -> list[set]:
+        return [
+            {tuple(r) for r in df.collect()}
+            for df in (
+                SS.ann_index_topk(spark, path, emb, n_queries=4, k=5),
+                SS.ann_index_topk(
+                    spark, path, emb, n_queries=4, k=5, recall_sla=0.9
+                ),
+                SS.ann_index_residual_topk(spark, path, emb, n_queries=4, k=5),
+            )
+        ]
+
+    before_files = cell_files()
+    assert before_files and max(before_files.values()) >= 3, before_files
+    before = reads()
+    assert all(before), "reads must be non-empty pre-compaction"
+
+    SS.ann_index_compact(spark, path)
+
+    after_files = cell_files()
+    assert set(after_files) == set(before_files), "cells must survive"
+    assert all(v == 1 for v in after_files.values()), after_files
+    assert reads() == before, "compaction changed a read result"
+
+
 def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):
     """The probe-cell filter must reach the scan as PARTITION pruning:
     the executed plan's file index reads only the probed cell
