@@ -158,22 +158,21 @@ HEADLINE = [
     # with zero code change — VERDICT r03 "What's wrong #3"). Running it
     # after every narrow query removes that contamination channel.
     "similarity_topk",
-    # ann_lsh_topk_single_baseline (r8) and ann_lsh_topk_multi (r10,
-    # strict subset of multiprobe) retired from the registry: their
-    # recall@5 is still reported in the "recall" block below via direct
-    # simsearch calls, they just no longer occupy timed headline slots
-    # or driver correctness slots.
-    "ann_lsh_topk_multiprobe",
+    # ann_lsh_topk_single_baseline (r8), ann_lsh_topk_multi (r10),
+    # ann_hamming_topk + ann_pq_adc_topk (r11), and
+    # ann_lsh_topk_multiprobe + ann_pq_trained_topk (r12) are retired
+    # from the registry: superseded ladder rungs strictly below the
+    # IVF/residual/SLA entries. Their recall@5 is still reported in the
+    # "recall" block below via direct simsearch calls, they just no
+    # longer occupy timed headline slots or driver correctness slots.
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
-    # ann_hamming_topk and ann_pq_adc_topk retired r11 (superseded
-    # ladder rungs below the 64-bit/residual entries): their recall@5
-    # stays reported in the recall block below via direct simsearch
-    # calls, they no longer hold timed headline or driver slots.
     "ann_ivf_hamming_topk",
     "ann_ivf_pq_topk",
-    "ann_pq_trained_topk",
     "similarity_topk_q8",
+    # r12: the streaming KMV drain promoted to a registry row by the
+    # retirements above (VERDICT r11 Next #8)
+    "distinct_kmv_stream",
     # round-10: the two output-quadratic enumeration twins
     # (dedup_embedding_cosine/_clusters) moved to RETIRED — still
     # oracle-checked every pytest run, no longer headline slots.

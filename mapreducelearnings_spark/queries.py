@@ -1653,7 +1653,7 @@ def q_ann_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_ann_topk_multi(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
+@retire(
     "ann_lsh_topk_multiprobe",
     f"""
     WITH {_EMB_CTE},
@@ -1699,7 +1699,14 @@ def q_ann_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets derive from the same bit-exact dot folds, so the "
     "approximate result stays fully oracle-checked. Recall vs the "
     "single-probe twin is asserted >= in pytest and reported in "
-    "bench.",
+    "bench. RETIRED from the driver rotation (r12, VERDICT r11 Next "
+    "#8): the measured ladder places it (recall 0.95 at 7.3 s) "
+    "strictly below the IVF/SLA read paths that hold registry slots; "
+    "its recall role stays measured in bench's recall block and "
+    "tools/ann_recall_probe.py (path `lsh_multiprobe`), and its "
+    "oracle stays checked every pytest run via test_oracle_parity. "
+    "The freed slot goes to the streaming KMV drain "
+    "(distinct_kmv_stream).",
 )
 def q_ann_lsh_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_ann_topk_multiprobe(load_table(spark, sf_dir, "embeddings"))
@@ -2249,7 +2256,7 @@ def _pq_trained_oracle(
 _PQ_TRAIN_SAMPLE_MOD = 4
 
 
-@register(
+@retire(
     "ann_pq_trained_topk",
     _pq_trained_oracle(sample_mod=_PQ_TRAIN_SAMPLE_MOD),
     doc="PQ-ADC over LLOYD-TRAINED codebooks, trained on the "
@@ -2269,7 +2276,15 @@ _PQ_TRAIN_SAMPLE_MOD = 4
     "error, not inner-product ranking (the classic MIPS-vs-L2 "
     "mismatch on unit vectors: means shrink entry norms and ADC "
     "underestimates), so at a fixed rerank budget the sampled "
-    "codebook can rank better; both are reported in bench.",
+    "codebook can rank better; both are reported in bench. RETIRED "
+    "from the driver rotation (r12, VERDICT r11 Next #8): the "
+    "MIPS-vs-L2 measurement above IS its conclusion — the trained "
+    "rung ranks below the sampled codebook it was meant to improve, "
+    "and strictly below the residual/IVF entries holding slots; "
+    "recall stays measured in bench's recall block and "
+    "tools/ann_recall_probe.py (path `pq_trained`), oracle coverage "
+    "via test_oracle_parity. The freed slot offsets the rule-1 "
+    "window pressure of the r12 oracle migration.",
 )
 def q_ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.pq_adc_topk(
@@ -2719,6 +2734,90 @@ def q_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+#: Unroll depth of the oracle-side min-label CC (see
+#: :func:`_cc_minlabel_ctes`). Every measured scale (1x-30x) converges
+#: in ONE round (LSH buckets are cliques, so a component's diameter in
+#: bucket-hops is tiny); 4 rounds of propagate+pointer-jump cover
+#: diameters to ~2^4 hops, and the fixpoint assert turns any deeper
+#: pathology into a loud oracle error instead of a silent mismatch.
+_CC_LABEL_ROUNDS = 4
+
+
+def _cc_minlabel_ctes(rounds: int = _CC_LABEL_ROUNDS) -> str:
+    """Oracle-side connected components WITHOUT the recursive
+    reachability CTE (VERDICT r11 Next #3): ``reach(v, l)`` enumerates
+    every (vertex, reachable-smaller-label) pair — Θ(s²) rows for a
+    near-dup cluster of s members, which is exactly the blowup that
+    exhausted DuckDB's memory/spill at the 30× sweep density while the
+    engine side stayed bounded. This replacement is the textbook
+    min-label propagation over the doc↔bucket BIPARTITE graph instead:
+    per round, every bucket takes the min label of its members and
+    every member takes the min of its buckets (cliques converge in one
+    round), followed by one pointer-jump (l ← l(l), halving any
+    residual chain depth); state per round is one label per vertex —
+    O(V+E), never quadratic. A final extra bucket step must be a
+    no-op; if it is not, DuckDB's error() raises, so an un-converged
+    unroll is a loud oracle failure, never a wrong answer (a stable
+    labeling is per-bucket constant, hence component-constant, hence
+    the component min — the same fixpoint argument the engine's
+    union-find relies on). Every CTE is MATERIALIZED: the rounds
+    reference each other multiply, and inlining re-expands the whole
+    MinHash pipeline exponentially in the unroll depth (measured: the
+    un-materialized form did not finish at the SMOKE scale).
+
+    Emits CTE text (to splice after a ``bands(doc_id, band, sig)``
+    CTE) ending in ``clusters(doc_id, cluster_id)`` — the same output
+    contract the old recursive tail produced, verified equal at
+    1x/3x/10x/30x."""
+    parts = [
+        """memb AS MATERIALIZED (
+        SELECT b.doc_id AS v, d.bkt FROM bands b
+        JOIN (SELECT band, sig, DENSE_RANK() OVER (ORDER BY band, sig) AS bkt
+              FROM (SELECT band, sig FROM bands
+                    GROUP BY band, sig HAVING COUNT(*) >= 2)) d
+        ON b.band = d.band AND b.sig = d.sig)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT v, v AS l FROM memb)",
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""bm{r} AS MATERIALIZED (SELECT m.bkt, MIN(p.l) AS bl
+            FROM memb m JOIN {prev} p ON m.v = p.v GROUP BY m.bkt)"""
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (SELECT p.v, LEAST(p.l, MIN(b.bl)) AS l
+            FROM {prev} p JOIN memb m ON m.v = p.v
+            JOIN bm{r} b ON b.bkt = m.bkt
+            GROUP BY p.v, p.l)"""
+        )
+        parts.append(
+            f"""l{r} AS MATERIALIZED (SELECT a.v, LEAST(a.l, b.l) AS l
+            FROM s{r} a JOIN s{r} b ON a.l = b.v)"""
+        )
+        prev = f"l{r}"
+    parts.append(
+        f"""chkb AS MATERIALIZED (SELECT m.bkt, MIN(p.l) AS bl
+        FROM memb m JOIN {prev} p ON m.v = p.v GROUP BY m.bkt)"""
+    )
+    parts.append(
+        f"""chk AS (SELECT COUNT(*) AS n
+        FROM {prev} p JOIN memb m ON m.v = p.v
+        JOIN chkb b ON b.bkt = m.bkt
+        WHERE b.bl < p.l)"""
+    )
+    parts.append(
+        f"""clusters AS (
+        SELECT v AS doc_id,
+               CASE WHEN (SELECT n FROM chk) > 0
+                    THEN CAST(error('cc oracle: min-label propagation '
+                         || 'not converged — raise _CC_LABEL_ROUNDS')
+                         AS BIGINT)
+                    ELSE l END AS cluster_id
+        FROM {prev})"""
+    )
+    return ",\n    ".join(parts)
+
+
 _DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     perms(i, pa, pb) AS (VALUES {_minhash_perms_values()}),
@@ -2732,19 +2831,8 @@ _DEDUP_CLUSTERS_ORACLE = f"""
     bands AS (SELECT doc_id, i // {DD.ROWS_PER_BAND} AS band,
               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig
               FROM mh GROUP BY doc_id, i // {DD.ROWS_PER_BAND}),
-    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
-              WHERE x.doc_id < y.doc_id),
-    sym AS (SELECT DISTINCT s, d FROM
-            (SELECT a AS s, b AS d FROM pairs
-             UNION ALL SELECT b AS s, a AS d FROM pairs)),
-    verts AS (SELECT DISTINCT s AS v FROM sym),
-    reach(v, l) AS (
-        SELECT v, v FROM verts
-        UNION
-        SELECT sym.d AS v, reach.l FROM reach JOIN sym ON sym.s = reach.v
-    )
-    SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    {_cc_minlabel_ctes()}
+    SELECT doc_id, cluster_id FROM clusters
     """
 
 
@@ -2872,19 +2960,7 @@ _CURATION_ORACLE = f"""
     bands AS (SELECT doc_id, i // {DD.ROWS_PER_BAND} AS band,
               md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS sig
               FROM mh GROUP BY doc_id, i // {DD.ROWS_PER_BAND}),
-    pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
-              WHERE x.doc_id < y.doc_id),
-    sym AS (SELECT DISTINCT s, d FROM
-            (SELECT a AS s, b AS d FROM pairs
-             UNION ALL SELECT b AS s, a AS d FROM pairs)),
-    verts AS (SELECT DISTINCT s AS v FROM sym),
-    reach(v, l) AS (
-        SELECT v, v FROM verts
-        UNION
-        SELECT sym.d AS v, reach.l FROM reach JOIN sym ON sym.s = reach.v
-    ),
-    clusters AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    {_cc_minlabel_ctes()},
     dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
     SELECT de.doc_id, k.token_count, k.quality_score
     FROM de JOIN keepq k ON de.doc_id = k.doc_id
@@ -3185,6 +3261,64 @@ def q_distinct_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return KMV.kmv_estimate(merged, "event_type")
+
+
+@register(
+    "distinct_kmv_stream",
+    # the from-scratch batch sketch over the whole table — the stream's
+    # final keyed state must equal it EXACTLY (same SQL shape as
+    # distinct_kmv_incremental: k smallest distinct md5 hashes, one
+    # IEEE division, cross-engine floor quantization)
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS u
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (
+      SELECT event_type, u,
+             row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+      FROM h)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+           CASE WHEN COUNT(*) < {KMV.KMV_K}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE FLOOR(({float(KMV.KMV_K - 1)} * {float(KMV.KMV_HASH_BASE)}
+                            / CAST(MAX(u) + 1 AS DOUBLE)) * 10000 + 0.5)
+                     / 10000
+           END AS est_distinct
+    FROM r WHERE rn <= {KMV.KMV_K} GROUP BY event_type
+    """,
+    doc="STREAMING KMV distinct-count, end-to-end through the driver "
+    "gate (r12, VERDICT r11 Next #8 — promoted from a tests-only "
+    "surface when the retired ANN ladder rungs freed rotation "
+    "capacity): the events stream drains availableNow through "
+    "applyInPandasWithState keeping k longs per group (the bounded "
+    "alternative to exact streaming COUNT DISTINCT, whose state grows "
+    "with the id domain), and the final state's estimate must equal "
+    "the FROM-SCRATCH batch sketch exactly — the md5-deterministic "
+    "hash and the float64-pinned estimator make the stream "
+    "hash-comparable against DuckDB, which no HLL-based streaming "
+    "count can be. The oracle is the batch sketch SQL; the "
+    "multi-microbatch split-drain and the ≤k state bound stay "
+    "pytest-pinned (test_streaming_stateful.py::"
+    "test_kmv_distinct_stream_matches_batch).",
+)
+def q_distinct_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windows as SW2
+
+    SW2.run_kmv_distinct_stream_to_memory(
+        spark, sf_dir, table_name="q_distinct_kmv_stream"
+    )
+    # update mode emits one row per (microbatch, group); the final
+    # state per group is the max-rows_seen row
+    return spark.sql(
+        """
+        SELECT event_type, sketch_size, est_distinct FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY rows_seen DESC) AS rn
+          FROM q_distinct_kmv_stream) WHERE rn = 1
+        """
+    )
 
 
 # ===========================================================================
@@ -6098,7 +6232,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_sizes",
     f"""
-    WITH cc AS ({_DEDUP_CLUSTERS_ORACLE})
+    WITH cc AS MATERIALIZED ({_DEDUP_CLUSTERS_ORACLE})
     SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
           FROM cc GROUP BY cluster_id)
@@ -6734,7 +6868,7 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_best",
     f"""
-    WITH cc AS ({_DEDUP_CLUSTERS_ORACLE}),
+    WITH cc AS MATERIALIZED ({_DEDUP_CLUSTERS_ORACLE}),
     st AS (SELECT doc_id, quality_score
            FROM ({REGISTRY["text_stats"].oracle})),
     m AS (SELECT cc.doc_id, cc.cluster_id, st.quality_score
@@ -6849,7 +6983,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # among them) + the 2 r9 adds = 49 (1 spare). r11 = the 50 r8-greens.
 # Steady state ~49/50/50.
 # ---------------------------------------------------------------------------
-# Round-10 window (THIS round): the r9 forecast executed, with the
+# Round-10 window: the r9 forecast executed, with the
 # amendments the standing rules force:
 #   - rule-3 cohort: the 47 r7-greens LESS dedup_embedding_cosine and
 #     dedup_embedding_clusters, which moved to RETIRED this round
@@ -6879,7 +7013,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct_kmv_sketch (the r10 mid-round add, rule 2 — it takes the
 # spare slot).
 # ---------------------------------------------------------------------------
-# Round-11 window (THIS round): exactly the r10 forecast — the 49
+# Round-11 window: exactly the r10 forecast — the 49
 # r8-greens (age 3 entering r11, at the staleness bound) +
 # distinct_kmv_sketch (rule 2: the one registry entry with no driver
 # row ever, judge-verified exact in the r10 session; VERDICT r10
@@ -6900,39 +7034,35 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outranks rule 3 by the standing order). r13 = the 48 r10-greens
 # (50 less the 2 retirements).
 # ---------------------------------------------------------------------------
+# Round-12 window (THIS round): the r11 forecast, amended by rule 1 —
+# this round replaced the CC oracle's recursive-reachability tail with
+# the unrolled min-label propagation (VERDICT r11 Next #3), touching
+# the oracles of dedup_clusters / dedup_clusters_star /
+# dedup_clusters_incremental / dedup_cluster_sizes / dedup_keep_best /
+# corpus_curation, and changed the sketch engine code (carried-k,
+# VERDICT r11 #2), touching distinct_kmv_sketch /
+# distinct_kmv_incremental. Rule 1 pulls every changed entry into the
+# window: dedup_keep_best and dedup_cluster_sizes are in the r9 cohort
+# already; dedup_clusters, dedup_clusters_star, corpus_curation come
+# forward from the r10 cohort and dedup_clusters_incremental,
+# distinct_kmv_sketch from the r11 cohort; with the two rule-2 adds
+# (distinct_kmv_incremental, ann_index_sla_topk) that bumps SEVEN
+# r9-greens to lead r13 (43 + 5 + 2 = 50). The round's other code
+# changes are default-equivalent plumbing with unchanged success-path
+# plans (ingest persist placement inside try; streaming arrival knobs
+# defaulting to historical values; bench/read-path reporting) — their
+# entries (ann_index_append_topk r10-green, dedup_stream_lsh r11-green)
+# stay on schedule, and this round's full sf0.01 check_oracles run
+# re-verified both on the new code.
+# Forecast: r13 = the 7 bumped r9-greens + 43 of the 45 remaining
+# r10-greens; r14 = the last 2 r10-greens + the 48 r11-greens.
+# ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    # rule 3 — the 49 r8-greens (age 3 entering r11, at the staleness
-    # bound):
-    "bpe_merges", "dedup_clusters_incremental", "set_ops",
-    "bpe_encode_tokens", "epoch_shuffle", "hash_split", "dedup_stream_lsh",
-    "anti_join", "customer_running_totals", "lang_id",
-    "udf_discounted_price", "repetition_stats", "pii_redact",
-    "order_priority_semi", "volume_shipping", "returned_items",
-    "promo_revenue", "large_orders", "disjunctive_revenue", "idle_customers",
-    "min_cost_supplier", "grouping_sets_pricing", "forecast_revenue",
-    "order_count_distribution", "small_quantity_revenue", "market_share",
-    "late_exclusive_suppliers", "important_parts", "doc_chunks",
-    "funnel_conversion", "best_revenue_supplier", "stream_enriched_totals",
-    "events_props_variant", "ann_lsh_topk_multiprobe",
-    "ann_ivf_trained_topk", "ann_pq_trained_topk", "sequence_packing",
-    "stratified_sample", "hof_gauntlet", "sentence_split_udtf",
-    "semdedup_keep", "source_quota_sample", "zorder_values",
-    "asof_latest_order_cogroup", "bigram_counts", "nation_profit",
-    "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
-    # rule 2 — never driver-checked: the r10 mid-round add:
-    "distinct_kmv_sketch",
-]
-
-# Outside the driver's 50-row window this round: every entry below has
-# a green driver row from r9 or r10 (ages 1-2 entering r11; none
-# reaches the age-3 bound before its scheduled r12/r13 slot) except
-# the two r11 adds at the end (rule 2 — they enter the r12 window);
-# all are still oracle-checked locally at sf0.001 by
-# tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py
-# every round.
-_TAIL = [
-    # r9-green (age 2 entering r11): the r12 cohort (50 entries; the 2
-    # rule-2 adds below bump the last 2 of these to r13).
+    # rule 3 — 43 of the 50 r9-greens (age 3 entering r12; the last 7
+    # of the cohort are bumped to lead r13 by the rule-1/rule-2 pulls
+    # below — pagerank_idfilter, sssp_distances, sssp_paths,
+    # triangle_count, kmeans_centroids, dedup_exact,
+    # simhash_fingerprints, every one heavily pytest-pinned meanwhile):
     "cooccurrence_pmi", "dedup_keep_best", "shipmode_priority",
     "bigram_lm_scores", "batch_sessionize", "scd2_event_intervals",
     "secondary_sort_orders", "weighted_sample_priority", "doc_provenance",
@@ -6946,32 +7076,69 @@ _TAIL = [
     "text_stats", "grouped_sum", "grouped_min_max", "global_agg",
     "grouped_collect", "case_when", "scalar_gauntlet", "inner_join",
     "semi_join", "broadcast_join", "two_hop_paths", "top_k", "union_reagg",
+    # rule 1 — oracle changed this round (the CC reach tail replaced by
+    # the unrolled min-label propagation, VERDICT r11 Next #3), plus
+    # the two entries whose engine code changed (carried-k sketch):
+    "dedup_clusters_incremental", "distinct_kmv_sketch", "dedup_clusters",
+    "dedup_clusters_star", "corpus_curation",
+    # rule 2 — the r11 adds, never driver-checked (judge-verified exact
+    # in the r11 session; 6-scale local evidence):
+    "distinct_kmv_incremental", "ann_index_sla_topk",
+]
+
+# Outside the driver's 50-row window this round: every entry below has
+# a green driver row from r9 or r10 (ages 1-2 entering r11; none
+# reaches the age-3 bound before its scheduled r12/r13 slot) except
+# the two r11 adds at the end (rule 2 — they enter the r12 window);
+# all are still oracle-checked locally at sf0.001 by
+# tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py
+# every round.
+_TAIL = [
+    # r9-green bumped out of the r12 window by the rule-1/rule-2 pulls:
+    # they lead the r13 window (age 4 at their r13 row — one round past
+    # the nominal bound, the documented cost of rule 1 outranking
+    # rule 3; all seven stay oracle-checked locally every round).
     "pagerank_idfilter", "sssp_distances", "sssp_paths", "triangle_count",
     "kmeans_centroids", "dedup_exact", "simhash_fingerprints",
-    # r10-green (age 1 entering r11): the r13 cohort (48 entries —
-    # ann_hamming_topk and ann_pq_adc_topk retired this round).
+    # r10-green (age 2 entering r12): the r13 cohort, less the 3
+    # CC-family entries pulled forward by rule 1.
     "incident_event_counts", "degree_distribution", "value_histogram",
     "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
-    "quality_filter", "corpus_curation", "ann_ivf_hamming_topk",
-    "explode_variants",
-    "window_function_gauntlet", "events_rolling_hour", "similarity_topk_q8",
-    "dedup_ngram_jaccard", "token_counts_bpe", "token_doc_frequency",
-    "sql_revenue_by_nation", "shipping_priority", "distinct_users_per_type",
-    "sliding_windows", "top_events_per_user", "pagerank_df_quirk",
-    "pagerank_topk", "kmeans_followers", "pivot_event_counts",
-    "unpivot_event_counts", "top_supplier", "salted_join", "decontamination",
-    "multimodal_meta", "dedup_clusters",
-    "dedup_clusters_star", "sentence_stats", "text_normalize",
-    "inverted_index", "bm25_topk", "max_filter", "distinct_pairs",
-    "right_outer_join", "explode_tokens", "salted_follower_count",
-    "triangle_count_broadcast", "ann_ivf_pq_topk",
-    "dedup_embedding_nearest", "bpe_merges_batched",
-    "ann_pq64_adc_topk", "ann_index_append_topk",
-    "ann_ivf_pq64_residual_topk",
-    # r11 mid-round adds (no driver row yet): 4-scale local oracle
-    # evidence recorded this round (SWEEPS.json); rule 2 puts them in
-    # the r12 window.
-    "distinct_kmv_incremental", "ann_index_sla_topk",
+    "quality_filter", "ann_ivf_hamming_topk", "explode_variants",
+    "window_function_gauntlet", "events_rolling_hour",
+    "similarity_topk_q8", "dedup_ngram_jaccard", "token_counts_bpe",
+    "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
+    "distinct_users_per_type", "sliding_windows", "top_events_per_user",
+    "pagerank_df_quirk", "pagerank_topk", "kmeans_followers",
+    "pivot_event_counts", "unpivot_event_counts", "top_supplier",
+    "salted_join", "decontamination", "multimodal_meta", "sentence_stats",
+    "text_normalize", "inverted_index", "bm25_topk", "max_filter",
+    "distinct_pairs", "right_outer_join", "explode_tokens",
+    "salted_follower_count", "triangle_count_broadcast", "ann_ivf_pq_topk",
+    "dedup_embedding_nearest", "bpe_merges_batched", "ann_pq64_adc_topk",
+    "ann_index_append_topk", "ann_ivf_pq64_residual_topk",
+    # r11-green (age 1 entering r12): the r14 cohort, less the 2
+    # sketch entries pulled forward by rule 1.
+    "bpe_merges", "set_ops", "bpe_encode_tokens", "epoch_shuffle",
+    "hash_split", "dedup_stream_lsh", "anti_join",
+    "customer_running_totals", "lang_id", "udf_discounted_price",
+    "repetition_stats", "pii_redact", "order_priority_semi",
+    "volume_shipping", "returned_items", "promo_revenue", "large_orders",
+    "disjunctive_revenue", "idle_customers", "min_cost_supplier",
+    "grouping_sets_pricing", "forecast_revenue",
+    "order_count_distribution", "small_quantity_revenue", "market_share",
+    "late_exclusive_suppliers", "important_parts", "doc_chunks",
+    "funnel_conversion", "best_revenue_supplier", "stream_enriched_totals",
+    "events_props_variant",
+    "ann_ivf_trained_topk", "sequence_packing",
+    "stratified_sample", "hof_gauntlet", "sentence_split_udtf",
+    "semdedup_keep", "source_quota_sample", "zorder_values",
+    "asof_latest_order_cogroup", "bigram_counts", "nation_profit",
+    "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
+    # r12 mid-round add (no driver row yet): the streaming KMV drain,
+    # promoted to a registry row by the r12 retirements (VERDICT r11
+    # Next #8); rule 2 puts it in the r13 window.
+    "distinct_kmv_stream",
 ]
 
 

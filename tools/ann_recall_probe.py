@@ -64,6 +64,21 @@ def main() -> int:
             emb, n_queries=8, k=5, pq_k=SS.PQ_K64
         ),
         "hamming": lambda: SS.hamming_ann_topk(emb, n_queries=8, k=5),
+        # retired-from-registry ladder rungs (r12): recall role stays
+        # measured here and in bench's recall block — multiprobe is the
+        # half-memory/2L-probes LSH point (Lv et al. VLDB'07), trained
+        # PQ the Lloyd-refined-codebook point (MIPS-vs-L2 caveat on its
+        # old @retire doc)
+        "lsh_multiprobe": lambda: SS.lsh_ann_topk_multiprobe(
+            emb, n_queries=8, k=5
+        ),
+        "pq_trained": lambda: SS.pq_adc_topk(
+            emb,
+            n_queries=8,
+            k=5,
+            trained_rounds=SS.PQ_LLOYD_ROUNDS,
+            train_sample_mod=4,
+        ),
         "ivf": lambda: SS.ivf_topk(emb, n_queries=8, k=5),
         "ivf_pq64_residual": lambda: SS.ivf_pq_residual_topk(
             emb, n_queries=8, k=5
