@@ -679,11 +679,22 @@ def run_kmv_distinct_stream_to_memory(
     table_name: str = "kmv_distinct",
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    shuffle_partitions: int = 8,
 ) -> None:
     """Drain the bounded events source through the streaming KMV
     sketch (availableNow) into a memory sink; ``max_files_per_trigger``
     + a multi-file source dir forces multiple microbatches, exercising
-    the cross-batch state merge."""
+    the cross-batch state merge.
+
+    The drain runs under ``loop_conf`` at a SMALL partition count (the
+    stream-LSH drain's lesson, r8): a stateful operator allocates one
+    state store per shuffle partition per microbatch, and the sketch
+    keys on event_type — a handful of groups, each k longs of state —
+    so 32 stores is pure fixed overhead; 8 covers any realistic group
+    fan-out here while a wide deployment would size it like the LSH
+    drain does (state volume / ~2k rows per store)."""
+    from ..plans.iterate import loop_conf
+
     agg = kmv_distinct_stream(
         stream_events(
             spark,
@@ -692,14 +703,15 @@ def run_kmv_distinct_stream_to_memory(
             max_files_per_trigger=max_files_per_trigger,
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, shuffle_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
