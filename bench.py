@@ -166,6 +166,8 @@ HEADLINE = [
     # "recall" block below via direct simsearch calls, they just no
     # longer occupy timed headline slots or driver correctness slots.
     "ann_ivf_topk",
+    # r12: filtered vector search (metadata predicate during the probe)
+    "ann_ivf_filtered_topk",
     "ann_ivf_trained_topk",
     "ann_ivf_hamming_topk",
     "ann_ivf_pq_topk",

@@ -371,13 +371,29 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat: each query exactly scores only
     the vectors in its ``n_probes`` nearest centroid cells — the
     cell-partitioned alternative to hyperplane LSH (candidates bounded
     by n_probes/n_cells of the corpus instead of bucket collisions; no
     DISTINCT needed since every vector lives in exactly one cell).
-    Returns (query_id, neighbor_id, cos, rank)."""
+    Returns (query_id, neighbor_id, cos, rank).
+
+    ``keep`` (optional, single ``keep_id`` column) is a METADATA
+    FILTER — the retrieval-with-filters production shape ("nearest
+    docs in language X"): candidates are LEFT-SEMI joined against it
+    AFTER the cell probe and BEFORE scoring, so the filter cost rides
+    the already-bounded n_probes/n_cells candidate stream, never the
+    corpus (pre-filtering the whole index would re-scan everything;
+    post-filtering the top-k would under-fill it). The index —
+    centroids and cell assignment — stays UNFILTERED, so one index
+    serves every predicate. Standard filtered-IVF caveat: the probed
+    cells must hold ≥ k matching rows for a full result; the semi
+    join keeps ranking semantics exact within the probed cells, which
+    is what the DuckDB oracle checks value-for-value. At 100 TB the
+    keep set is ∝ corpus (not broadcastable in general) and the semi
+    join shuffles only the probed candidates against it."""
     emb = _emb_normed(embeddings)
     cent = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -395,9 +411,13 @@ def ivf_topk(
         .where(F.col("pr") <= n_probes)
         .select("query_id", "qemb", F.col("cid").cast("long").alias("cell"))
     )
+    candidates = assigned.join(F.broadcast(qprobe), "cell")
+    if keep is not None:
+        candidates = candidates.join(
+            keep, candidates["vec_id"] == keep["keep_id"], "left_semi"
+        )
     scored = (
-        assigned.join(F.broadcast(qprobe), "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
+        candidates.where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -1789,6 +1789,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "ann_ivf_filtered_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (SELECT vec_id AS cid, ne AS ce FROM e WHERE vec_id < {SS.IVF_CELLS}),
+    ac AS (SELECT e.vec_id, e.ne, cent.cid,
+           list_dot_product(e.ne, cent.ce) AS cs
+           FROM e CROSS JOIN cent),
+    cells AS (SELECT vec_id, ne, cid AS cell FROM
+              (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cs DESC, cid ASC) AS rn FROM ac)
+              WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, ne AS qemb, cid AS cell FROM
+               (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY cs DESC, cid ASC) AS rn
+                FROM ac WHERE vec_id < 8)
+               WHERE rn <= {SS.IVF_PROBES}),
+    keep AS (SELECT doc_id AS keep_id FROM documents WHERE lang = 'en'),
+    scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS.format(a="q.qemb", b="c.ne")}, 6) AS cos
+               FROM cells c JOIN qprobe q ON c.cell = q.cell
+               JOIN keep k ON c.vec_id = k.keep_id
+               WHERE c.vec_id <> q.query_id),
+    rk AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cos,
+           CAST(rank AS BIGINT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+    doc="FILTERED vector search (r12 — the retrieval-with-filters "
+    "production shape every RAG/curation stack needs: 'nearest docs "
+    "IN LANGUAGE X'): IVF-Flat top-k where candidates must also "
+    "satisfy a metadata predicate, here documents.lang = 'en' joined "
+    "on the shared doc_id = vec_id key. The filter is applied "
+    "DURING the probe — a left-semi join on the already-bounded "
+    "n_probes/n_cells candidate stream — not before it (pre-filtering "
+    "re-scans the corpus per predicate) and not after it "
+    "(post-filtering the top-k under-fills k). The index itself stays "
+    "unfiltered, so ONE index serves every predicate; the standard "
+    "filtered-IVF caveat (probed cells must hold >= k matching rows) "
+    "is inherited and documented. Exact within probed cells, so fully "
+    "value-checked: the oracle is the ann_ivf_topk SQL with the same "
+    "lang join.",
+)
+def q_ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keep = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select(F.col("doc_id").alias("keep_id"))
+    )
+    return SS.ivf_topk(load_table(spark, sf_dir, "embeddings"), keep=keep)
+
+
 def _ivf_trained_oracle(
     n_cells: int = SS.IVF_CELLS,
     n_probes: int = SS.IVF_PROBES,
@@ -7135,10 +7190,12 @@ _TAIL = [
     "semdedup_keep", "source_quota_sample", "zorder_values",
     "asof_latest_order_cogroup", "bigram_counts", "nation_profit",
     "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
-    # r12 mid-round add (no driver row yet): the streaming KMV drain,
-    # promoted to a registry row by the r12 retirements (VERDICT r11
-    # Next #8); rule 2 puts it in the r13 window.
-    "distinct_kmv_stream",
+    # r12 mid-round adds (no driver row yet): the streaming KMV drain
+    # (promoted to a registry row by the r12 retirements, VERDICT r11
+    # Next #8) and filtered vector search (the retrieval-with-filters
+    # shape, taking the spare 150th slot); rule 2 puts both in the
+    # r13 window.
+    "distinct_kmv_stream", "ann_ivf_filtered_topk",
 ]
 
 

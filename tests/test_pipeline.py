@@ -150,6 +150,30 @@ def test_multiprobe_ann_recall_geq_single_probe(spark, sf_dir):
     assert multip >= single, (multip, single)
 
 
+def test_ivf_filtered_topk_respects_predicate(spark, sf_dir):
+    """Filtered vector search (r12): every returned neighbor must
+    satisfy the metadata predicate, the filter must actually bite
+    (filtered ≠ unfiltered on a mixed-language fixture), and the
+    degenerate all-ids filter must reproduce the unfiltered result
+    exactly — the semi join may change WHICH rows rank, never HOW
+    scoring/tiebreaking works."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    en = {r["doc_id"] for r in docs.where(F.col("lang") == "en").collect()}
+    keep = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("keep_id")
+    )
+    filtered = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
+    assert filtered, "filtered search returned nothing"
+    assert all(r["neighbor_id"] in en for r in filtered)
+    unfiltered = SS.ivf_topk(emb, n_queries=8, k=5).collect()
+    assert {tuple(r) for r in filtered} != {tuple(r) for r in unfiltered}
+    all_ids = docs.select(F.col("doc_id").alias("keep_id"))
+    assert sorted(map(tuple, SS.ivf_topk(emb, n_queries=8, k=5, keep=all_ids).collect())) == sorted(
+        map(tuple, unfiltered)
+    )
+
+
 def test_quality_filter_is_conjunction_of_stats(spark, sf_dir):
     """quality_filter's single-scan output must equal filtering the
     text_stats ⋈ lang_id composition row-for-row (same formulas, one

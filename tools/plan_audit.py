@@ -52,6 +52,9 @@ BNLJ_BOUNDED_ALLOWLIST = frozenset(
         # k-row (<=8) query/probe sides broadcast into the corpus scan
         "similarity_topk", "similarity_topk_q8",
         "ann_ivf_topk", "ann_ivf_trained_topk", "ann_hamming_topk",
+        # r12: filtered vector search — same 8-row probe cross join;
+        # the metadata filter itself is an equi semi join, not BNLJ
+        "ann_ivf_filtered_topk",
         "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_ivf_hamming_topk",
         "ann_ivf_pq_topk",
         # round-10: same k-row broadcast probe/centroid idiom
