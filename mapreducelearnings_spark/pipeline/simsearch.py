@@ -1858,6 +1858,7 @@ def _index_exact_topk(
     k: int,
     n_cells: int,
     n_probes: int,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-rerank read of the on-disk index: every row of the probed
     cells is cosine-scored against its queries — no compressed
@@ -1897,9 +1898,17 @@ def _index_exact_topk(
         {r["cell"] for r in qprobe.select("cell").distinct().collect()}
     )
     idx = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    candidates = idx.select("vec_id", "cell", "ne")
+    if keep is not None:
+        # metadata filter COMPOSED with partition pruning (the on-disk
+        # twin of ivf_topk's keep): the semi join runs over only the
+        # probed cells' rows — the pruned scan bounds what the filter
+        # ever touches, the filter bounds what gets scored
+        candidates = candidates.join(
+            keep, candidates["vec_id"] == keep["keep_id"], "left_semi"
+        )
     scored = (
-        idx.select("vec_id", "cell", "ne")
-        .join(F.broadcast(qprobe), "cell")
+        candidates.join(F.broadcast(qprobe), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1917,6 +1926,33 @@ def _index_exact_topk(
             F.round("cos", 4).alias("cos"),
             F.col("rank").cast("long").alias("rank"),
         )
+    )
+
+
+def ann_index_filtered_topk(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    keep: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """Filtered vector search over the ON-DISK index: the
+    retrieval-with-filters shape (:func:`ivf_topk` with ``keep``)
+    composed with the stored layout's partition pruning — the scan
+    opens only the probed cell directories, and the metadata semi join
+    runs over just those rows before exact scoring. This is the
+    production read for "nearest docs in language X" against a
+    persisted index: one unfiltered index serves every predicate, the
+    filter cost is bounded by n_probes/n_cells of the corpus, and the
+    exact rerank keeps results fully deterministic. When the query and
+    build frames match, results are bit-identical to
+    ``ivf_topk(..., keep=keep)`` (pytest-pinned:
+    tests/test_pipeline.py::test_ann_index_filtered_matches_memory)."""
+    return _index_exact_topk(
+        spark, path, embeddings, n_queries, k, n_cells, n_probes, keep=keep
     )
 
 

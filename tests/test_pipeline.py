@@ -174,6 +174,31 @@ def test_ivf_filtered_topk_respects_predicate(spark, sf_dir):
     )
 
 
+def test_ann_index_filtered_matches_memory(spark, sf_dir, tmp_path):
+    """Filtered search over the ON-DISK index must be bit-identical to
+    the in-memory ivf_topk(keep=...) when the frames match — the
+    disk≡memory convention every other index read path carries — and
+    every returned neighbor must satisfy the predicate. The pruned
+    scan + semi join composition is what a persisted-index RAG read
+    actually runs."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("keep_id")
+    )
+    path = str(tmp_path / "ann_index_filtered")
+    SS.ann_index_write(emb, path)
+    disk = SS.ann_index_filtered_topk(
+        spark, path, emb, keep, n_queries=6, k=5
+    ).collect()
+    mem = SS.ivf_topk(emb, n_queries=6, k=5, keep=keep).collect()
+    assert sorted(map(tuple, disk)) == sorted(map(tuple, mem))
+    en = {r["keep_id"] for r in keep.collect()}
+    assert disk and all(r["neighbor_id"] in en for r in disk)
+
+
 def test_quality_filter_is_conjunction_of_stats(spark, sf_dir):
     """quality_filter's single-scan output must equal filtering the
     text_stats ⋈ lang_id composition row-for-row (same formulas, one
