@@ -1947,7 +1947,12 @@ def ann_index_filtered_topk(
     production read for "nearest docs in language X" against a
     persisted index: one unfiltered index serves every predicate, the
     filter cost is bounded by n_probes/n_cells of the corpus, and the
-    exact rerank keeps results fully deterministic. When the query and
+    exact rerank keeps results fully deterministic. The filtered read
+    deliberately uses the EXACT rung, not a compressed pre-rank: a
+    fixed pre-rank budget counts unfiltered candidates, so under a
+    selective predicate it can under-fill with matching rows and
+    silently crater recall — the filtered analogue of the rerank-budget
+    lesson the unfiltered ladder already measured. When the query and
     build frames match, results are bit-identical to
     ``ivf_topk(..., keep=keep)`` (pytest-pinned:
     tests/test_pipeline.py::test_ann_index_filtered_matches_memory)."""
