@@ -425,6 +425,14 @@ def main() -> None:
     # min-of-k de-noises the measurement without warming anything.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
+    # Phase split of the repeat that PRODUCED the min (ADVICE r12: the
+    # old code paired min-of-k chain times with the LAST repeat's
+    # split, so `value` mixed measurements from different runs and a
+    # noisy last repeat could exceed the min it was substituted into).
+    from mapreducelearnings_spark.queries import PHASE_TIMES
+
+    phase_splits: dict[str, dict[str, float]] = {}
+
     def _time_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -435,9 +443,14 @@ def main() -> None:
             for _ in range(repeats):
                 spark.catalog.clearCache()
                 _drop_rdd_blocks()
+                PHASE_TIMES.pop(name, None)  # so a stale split can't pair
                 t0 = time.perf_counter()
                 spec.spark(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                elapsed = time.perf_counter() - t0
+                if elapsed < best:
+                    best = elapsed
+                    if name in PHASE_TIMES:
+                        phase_splits[name] = dict(PHASE_TIMES[name])
             out[name] = round(best, 4)
         return out
 
@@ -449,13 +462,12 @@ def main() -> None:
     surface_twins = _time_set(SURFACE_TWINS)
     timings = _time_set(HEADLINE)
     recall = _ann_recall_at_k(spark, sf_dir)
-    # Per-phase wall times of multi-phase chain entries (the last
-    # repeat's split — repeats are cold and near-identical): a chain
-    # row's ingest I/O must never read as query latency (VERDICT r10
-    # Next #3).
-    from mapreducelearnings_spark.queries import PHASE_TIMES
-
-    phases = dict(PHASE_TIMES)
+    # Per-phase wall times of multi-phase chain entries, captured from
+    # the SAME repeat that produced each entry's min (ADVICE r12): a
+    # chain row's ingest I/O must never read as query latency (VERDICT
+    # r10 Next #3), and the split substituted into the headline must be
+    # internally consistent with the min it replaces.
+    phases = dict(phase_splits)
     spark.stop()
 
     probe_after = _calibration_probe()

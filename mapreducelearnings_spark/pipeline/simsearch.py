@@ -365,6 +365,81 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _widened_probe(
+    ranked: DataFrame,
+    cells: DataFrame,
+    keep: DataFrame,
+    n_queries: int,
+    k: int,
+    n_cells: int,
+    n_probes: int,
+    qemb_col: str = "qemb",
+) -> DataFrame:
+    """Adaptive per-query probe set for FILTERED search (r13, VERDICT
+    r12 Next #2 — the under-fill defense): given the per-query
+    similarity-ranked cell list ``ranked`` (query_id, qemb, cid, cs,
+    pr) and the corpus cell assignment ``cells`` (vec_id, cell),
+    return (query_id, qemb, cell) rows covering, per query, the
+    smallest rank-prefix whose cumulative count of MATCHING candidates
+    (in ``keep``, excluding the query itself) reaches ``k`` — floored
+    at ``n_probes`` (a permissive predicate probes exactly what the
+    unfiltered path would) and capped at ``n_cells`` (fewer than k
+    matches corpus-wide probes everything and returns an honestly
+    short result).
+
+    Scale shape: the per-cell match counts are ONE column-pruned
+    aggregate — (vec_id, cell) semi-joined against keep, grouped to
+    ≤ n_cells rows — so the pass reads two narrow columns of the
+    corpus, never the vectors; the widening math itself (cumulative
+    sum + first-rank-reaching-k, both windows over query_id) runs on
+    the n_queries × n_cells ranked frame, metadata-sized by
+    construction. Deterministic given (corpus, keep), so the DuckDB
+    oracle reproduces it value-for-value; bit-shared between the
+    in-memory path (:func:`ivf_topk`) and the on-disk read
+    (:func:`_index_exact_topk`), which feeds it the STORED
+    assignment."""
+    matched = cells.join(keep, cells["vec_id"] == keep["keep_id"], "left_semi")
+    cellcnt = matched.groupBy("cell").agg(F.count("*").alias("mc"))
+    qself = (
+        matched.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("self_cell"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("pr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wq = Window.partitionBy("query_id")
+    stats = (
+        ranked.join(
+            F.broadcast(cellcnt), ranked["cid"] == cellcnt["cell"], "left"
+        )
+        .drop("cell")
+        .join(F.broadcast(qself), "query_id", "left")
+        .withColumn(
+            "m",
+            F.coalesce(F.col("mc"), F.lit(0))
+            - F.when(F.col("self_cell") == F.col("cid"), 1).otherwise(0),
+        )
+        .withColumn("cum", F.sum("m").over(wcum))
+        .withColumn(
+            "need",
+            F.min(F.when(F.col("cum") >= k, F.col("pr"))).over(wq),
+        )
+    )
+    return stats.where(
+        F.col("pr")
+        <= F.greatest(
+            F.lit(n_probes), F.coalesce(F.col("need"), F.lit(n_cells))
+        )
+    ).select(
+        "query_id", qemb_col, F.col("cid").cast("long").alias("cell")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
@@ -384,16 +459,31 @@ def ivf_topk(
     FILTER — the retrieval-with-filters production shape ("nearest
     docs in language X"): candidates are LEFT-SEMI joined against it
     AFTER the cell probe and BEFORE scoring, so the filter cost rides
-    the already-bounded n_probes/n_cells candidate stream, never the
-    corpus (pre-filtering the whole index would re-scan everything;
+    the already-bounded candidate stream, never the corpus
+    (pre-filtering the whole index would re-scan everything;
     post-filtering the top-k would under-fill it). The index —
     centroids and cell assignment — stays UNFILTERED, so one index
-    serves every predicate. Standard filtered-IVF caveat: the probed
-    cells must hold ≥ k matching rows for a full result; the semi
-    join keeps ranking semantics exact within the probed cells, which
-    is what the DuckDB oracle checks value-for-value. At 100 TB the
-    keep set is ∝ corpus (not broadcastable in general) and the semi
-    join shuffles only the probed candidates against it."""
+    serves every predicate.
+
+    The filtered probe is ADAPTIVE (r13, closing the classic
+    filtered-IVF under-fill: a fixed n_probes silently returns < k
+    rows whenever the probed cells hold < k matching candidates —
+    exactly what selective predicates do). Per query, the probe takes
+    the smallest prefix of the similarity-ranked cell list whose
+    cumulative MATCHING-candidate count reaches k, floored at
+    ``n_probes`` and capped at ``n_cells`` (if the whole corpus has
+    < k matches, all cells are probed and the result is honestly
+    short). The per-cell match counts are one column-pruned aggregate
+    (vec_id + cell only, semi-joined against keep, grouped to
+    n_cells rows — broadcastable metadata, never the vectors), and
+    the per-query widening math runs over the tiny
+    n_queries × n_cells ranked-cell frame. So a permissive predicate
+    pays the unfiltered plan plus one narrow count, while a selective
+    one widens exactly as far as k results require — deterministic,
+    hence fully value-checkable by the DuckDB oracle. At 100 TB the
+    keep set is ∝ corpus (not broadcastable in general); the count
+    pass reads two narrow columns and the semi join shuffles only the
+    probed candidates against it."""
     emb = _emb_normed(embeddings)
     cent = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -406,11 +496,16 @@ def ivf_topk(
         "query_id", "qemb", "cid", V.dot(F.col("qemb"), F.col("ce")).alias("cs")
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    qprobe = (
-        qs.withColumn("pr", F.row_number().over(wprobe))
-        .where(F.col("pr") <= n_probes)
-        .select("query_id", "qemb", F.col("cid").cast("long").alias("cell"))
-    )
+    ranked = qs.withColumn("pr", F.row_number().over(wprobe))
+    if keep is None:
+        qprobe = ranked.where(F.col("pr") <= n_probes).select(
+            "query_id", "qemb", F.col("cid").cast("long").alias("cell")
+        )
+    else:
+        qprobe = _widened_probe(
+            ranked, assigned.select("vec_id", "cell"), keep,
+            n_queries, k, n_cells, n_probes,
+        )
     candidates = assigned.join(F.broadcast(qprobe), "cell")
     if keep is not None:
         candidates = candidates.join(
@@ -1889,21 +1984,33 @@ def _index_exact_topk(
         "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    qprobe = (
-        qs.withColumn("pr", F.row_number().over(wprobe))
-        .where(F.col("pr") <= n_probes)
-        .select("query_id", "qe", F.col("cid").cast("long").alias("cell"))
-    )
+    ranked = qs.withColumn("pr", F.row_number().over(wprobe))
+    if keep is None:
+        qprobe = ranked.where(F.col("pr") <= n_probes).select(
+            "query_id", "qe", F.col("cid").cast("long").alias("cell")
+        )
+    else:
+        # adaptive widening against the STORED assignment (the on-disk
+        # twin of ivf_topk's filtered probe): the match-count pass
+        # reads only the index's (vec_id, cell) columns — parquet
+        # column pruning keeps the vectors untouched — and the
+        # widened per-query cell set still partition-prunes the
+        # scoring scan below
+        stored_cells = spark.read.parquet(path).select("vec_id", "cell")
+        qprobe = _widened_probe(
+            ranked, stored_cells, keep,
+            n_queries, k, n_cells, n_probes, qemb_col="qe",
+        )
     probe_cells = sorted(
         {r["cell"] for r in qprobe.select("cell").distinct().collect()}
     )
     idx = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
     candidates = idx.select("vec_id", "cell", "ne")
     if keep is not None:
-        # metadata filter COMPOSED with partition pruning (the on-disk
-        # twin of ivf_topk's keep): the semi join runs over only the
-        # probed cells' rows — the pruned scan bounds what the filter
-        # ever touches, the filter bounds what gets scored
+        # metadata filter COMPOSED with partition pruning: the semi
+        # join runs over only the probed cells' rows — the pruned scan
+        # bounds what the filter ever touches, the filter bounds what
+        # gets scored
         candidates = candidates.join(
             keep, candidates["vec_id"] == keep["keep_id"], "left_semi"
         )
@@ -1946,15 +2053,18 @@ def ann_index_filtered_topk(
     runs over just those rows before exact scoring. This is the
     production read for "nearest docs in language X" against a
     persisted index: one unfiltered index serves every predicate, the
-    filter cost is bounded by n_probes/n_cells of the corpus, and the
-    exact rerank keeps results fully deterministic. The filtered read
-    deliberately uses the EXACT rung, not a compressed pre-rank: a
-    fixed pre-rank budget counts unfiltered candidates, so under a
-    selective predicate it can under-fill with matching rows and
-    silently crater recall — the filtered analogue of the rerank-budget
-    lesson the unfiltered ladder already measured. When the query and
-    build frames match, results are bit-identical to
-    ``ivf_topk(..., keep=keep)`` (pytest-pinned:
+    probe is ADAPTIVE (r13 — :func:`_widened_probe` sizes each query's
+    cell prefix so the probed cells hold ≥ k MATCHING rows whenever
+    the corpus has them; the match-count pass reads only the index's
+    (vec_id, cell) columns), and the exact rerank keeps results fully
+    deterministic. The filtered read deliberately uses the EXACT rung,
+    not a compressed pre-rank: a fixed pre-rank budget counts
+    unfiltered candidates, so under a selective predicate it can
+    under-fill with matching rows and silently crater recall — the
+    filtered analogue of the rerank-budget lesson the unfiltered
+    ladder already measured. When the query and build frames match,
+    results are bit-identical to ``ivf_topk(..., keep=keep)``
+    (pytest-pinned:
     tests/test_pipeline.py::test_ann_index_filtered_matches_memory)."""
     return _index_exact_topk(
         spark, path, embeddings, n_queries, k, n_cells, n_probes, keep=keep

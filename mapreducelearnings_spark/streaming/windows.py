@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.sketch import KMV_K
+
 # Raw schema the file-stream source reads events.parquet with. NOTE the
 # unit asymmetry with the batch path: the parquet column is
 # TIMESTAMP(NANOS), and the *batch* reader (with the legacy nanosAsLong
@@ -488,30 +490,49 @@ def run_streaming_lsh_to_memory(
 
     from ..plans.iterate import loop_conf
 
+    src_df = spark.read.parquet(f"{src_dir}/{glob}")
     if shuffle_partitions is None:
-        n_docs = spark.read.parquet(f"{src_dir}/{glob}").count()
+        n_docs = src_df.count()
         shuffle_partitions = max(8, min(32, n_docs // 2000))
     _quiet_streaming_join_helper(spark)
-    with loop_conf(spark, shuffle_partitions):
-        src = stream_documents(
-            spark,
-            src_dir,
-            watermark=watermark,
-            glob=glob,
-            arrival_period_s=arrival_period_s,
-            arrival_spread_s=arrival_spread_s,
-            max_files_per_trigger=max_files_per_trigger,
-        )
-        q = (
-            streaming_lsh_candidates(src)
-            .writeStream.format("memory")
-            .queryName(table_name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return [_json.loads(p.json) for p in q.recentProgress]
+    # recentProgress retains only the LAST numRecentProgressUpdates
+    # entries (default 100), so a long file-by-file drain would
+    # silently truncate the returned occupancy curve — possibly
+    # dropping its true peak (ADVICE r12). Size the retention to the
+    # drain's microbatch bound up front: with maxFilesPerTrigger=m the
+    # drain runs ~ceil(n_files/m) batches (+ slack for availableNow's
+    # bookkeeping batches); inputFiles() is a metadata-only listing.
+    n_files = len(src_df.inputFiles())
+    batch_bound = n_files // max(1, max_files_per_trigger or n_files or 1) + 8
+    prog_key = "spark.sql.streaming.numRecentProgressUpdates"
+    prog_old = spark.conf.get(prog_key, None)
+    spark.conf.set(prog_key, str(max(100, batch_bound)))
+    try:
+        with loop_conf(spark, shuffle_partitions):
+            src = stream_documents(
+                spark,
+                src_dir,
+                watermark=watermark,
+                glob=glob,
+                arrival_period_s=arrival_period_s,
+                arrival_spread_s=arrival_spread_s,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+            q = (
+                streaming_lsh_candidates(src)
+                .writeStream.format("memory")
+                .queryName(table_name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return [_json.loads(p.json) for p in q.recentProgress]
+    finally:
+        if prog_old is None:
+            spark.conf.unset(prog_key)
+        else:
+            spark.conf.set(prog_key, prog_old)
 
 
 # ---------------------------------------------------------------------------
@@ -580,7 +601,7 @@ def run_stateful_stream_to_memory(
     q.awaitTermination()
 
 
-def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+def kmv_distinct_stream(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """Streaming KMV distinct-count: per-group running COUNT DISTINCT
     estimate with BOUNDED keyed state — the streaming twin of the
     batch sketch (`functions/sketch.py`, queries `distinct_kmv_sketch`

@@ -340,6 +340,9 @@ def test_streaming_lsh_state_evicts_with_watermark(spark, sf_dir, tmp_path):
     # and the curve comes DOWN once the watermark passes early slices —
     # state at end of drain is below the peak, i.e. eviction happened
     assert final < peak, (final, peak)
+
+
+def test_streaming_lsh_composes_with_exact_dedup_stream(spark, tmp_path):
     """dedup_stream ∘ streaming LSH: exact duplicates are dropped by
     dropDuplicatesWithinWatermark on the content hash BEFORE signatures
     are computed, so a replayed/duplicated document contributes no
