@@ -183,12 +183,16 @@ HEADLINE = [
     # enumeration twins)
     "dedup_embedding_nearest",
     "semdedup_keep",
-    # round-10: 8-bit PQ codebooks (the 30x code-resolution lever),
-    # FAISS-IVFPQ residual encoding, and the on-disk index
-    # build→append→query ingest chain
-    "ann_pq64_adc_topk",
+    # round-10: FAISS-IVFPQ residual encoding and the on-disk index
+    # build→append→query ingest chain (the 64-bit absolute-code rung
+    # ann_pq64_adc_topk was retired r13 — superseded by residual+SLA;
+    # its recall stays measured in the recall block below)
     "ann_ivf_pq64_residual_topk",
     "ann_index_append_topk",
+    # round-13: the maintenance pass — build→append→COMPACT→query;
+    # the headline counts its query phase (reads the compacted index),
+    # build/append/compact itemized as ingest
+    "ann_index_compact_topk",
     # round-11: the >=0.9-recall SLA read path over the session-scoped
     # on-disk index (build amortized; min-of-3 times the READ path —
     # ingest is ann_index_append_topk's phase-timed chain)

@@ -2264,10 +2264,19 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.pq_adc_topk(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
+@retire(
     "ann_pq64_adc_topk",
     _pq_oracle(kq=SS.PQ_K64),
-    doc="PQ-ADC with 8×256 codebooks (64-bit codes) — the "
+    doc="RETIRED from the driver rotation (r13, VERDICT r12 Next #3: "
+    "the slot funds ann_index_compact_topk — the maintenance pass "
+    "deserved a driver row more than a superseded ladder rung): its "
+    "r10 driver row is green, the 64-bit absolute-code rung is "
+    "superseded for production reads by residual encoding "
+    "(ann_ivf_pq64_residual_topk, in rotation) and the SLA read path "
+    "(ann_index_sla_topk, in rotation), its recall stays measured in "
+    "bench.py's recall block every round, and local oracle coverage "
+    "continues via RETIRED parametrization. "
+    "PQ-ADC with 8×256 codebooks (64-bit codes) — the "
     "CODE-RESOLUTION lever the round-9 30× recall measurement named "
     "(PERFORMANCE.md '30× recall'): a 32-bit code cannot order within "
     "a ~3 000-member cluster, so ann_pq_adc_topk's recall@5 fell to "
@@ -5162,6 +5171,65 @@ def q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "ann_index_compact_topk",
+    _ivf_pq_oracle(),
+    doc="The index MAINTENANCE pass end-to-end (r13, VERDICT r12 Next "
+    "#3 — the driver row for ann_index_compact, which was pytest-only "
+    "in r12): build the cell-partitioned on-disk index from 3/4 of "
+    "the corpus, append the rest as an arrival batch (one small file "
+    "per cell accretes — the small-files problem this pass exists "
+    "for), COMPACT every cell directory down to one file behind the "
+    "atomic-rename publish (cell layout preserved, so partition "
+    "pruning survives), then query the compacted index via "
+    "ann_index_topk. Because compaction leaves the row SET untouched "
+    "and every read path ranks with full deterministic tiebreaks, the "
+    "result is bit-identical to the pre-compaction (and to the "
+    "in-memory ivf_pq_topk) composition — so the DuckDB oracle is "
+    "exactly the ann_ivf_pq_topk SQL over the full corpus, and the "
+    "driver's independent value hash certifies build→append→compact→"
+    "query as a chain, not just the pytest bit-equality pin. "
+    "Build/append/compact wall times land in PHASE_TIMES (bench "
+    "itemizes them as ingest; the headline counts the query phase — "
+    "the read an analyst actually waits on). Completes the ingest "
+    "cost model: build ∝ corpus, append ∝ batch, compact ∝ index in "
+    "the maintenance window, query ∝ probed cells.",
+)
+def q_ann_index_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = SS.corpus_size(emb)
+    cut = max(SS.PQ_K, SS.IVF_CELLS, (3 * n) // 4)
+    root = tempfile.mkdtemp(prefix="ann_index_compact_q_")
+    path = root + "/idx"
+    try:
+        t0 = time.perf_counter()
+        SS.ann_index_write(emb.where(F.col("vec_id") < cut), path)
+        t1 = time.perf_counter()
+        SS.ann_index_append(spark, path, emb.where(F.col("vec_id") >= cut))
+        t2 = time.perf_counter()
+        SS.ann_index_compact(spark, path)
+        t3 = time.perf_counter()
+        result = SS.ann_index_topk(spark, path, emb)
+        # bounded control read (≤ n_queries × k = 40 rows), while the
+        # temp index still exists — same convention as the append chain
+        schema = result.schema
+        rows = result.collect()
+        t4 = time.perf_counter()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    PHASE_TIMES["ann_index_compact_topk"] = {
+        "build_sec": round(t1 - t0, 4),
+        "append_sec": round(t2 - t1, 4),
+        "compact_sec": round(t3 - t2, 4),
+        "query_sec": round(t4 - t3, 4),
+    }
+    return spark.createDataFrame(rows, schema)
+
+
 #: Per-phase wall times of the most recent multi-phase query run —
 #: bench.py copies this next to the headline timings so a chain row's
 #: ingest I/O is never mistaken for query latency (VERDICT r10 Next #3).
@@ -7157,7 +7225,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outranks rule 3 by the standing order). r13 = the 48 r10-greens
 # (50 less the 2 retirements).
 # ---------------------------------------------------------------------------
-# Round-12 window (THIS round): the r11 forecast, amended by rule 1 —
+# Round-12 window: the r11 forecast, amended by rule 1 —
 # this round replaced the CC oracle's recursive-reachability tail with
 # the unrolled min-label propagation (VERDICT r11 Next #3), touching
 # the oracles of dedup_clusters / dedup_clusters_star /
@@ -7180,51 +7248,48 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Forecast: r13 = the 7 bumped r9-greens + 43 of the 45 remaining
 # r10-greens; r14 = the last 2 r10-greens + the 48 r11-greens.
 # ---------------------------------------------------------------------------
+# Round-13 window (THIS round): VERDICT r12 Next #1 executed, plus
+# the standing rules:
+#   - rule 3: the SEVEN r9-greens bumped out of r12 (age 4 — one round
+#     past the nominal bound, the documented cost of the r12 rule-1
+#     pulls; all judge-exact-verified in the r12 session) lead the
+#     window;
+#   - rule 2: the two r12 adds with no driver row yet
+#     (ann_ivf_filtered_topk — now carrying the r13 adaptive-widening
+#     semantics — and distinct_kmv_stream), plus this round's add
+#     ann_index_compact_topk (the maintenance pass's driver row,
+#     VERDICT r12 Next #3; slot funded by retiring ann_pq64_adc_topk);
+#   - rule 1: dedup_stream_lsh pulled forward from the r11 cohort —
+#     its drain helper changed this round (progress-retention sizing,
+#     ADVICE r12; results equivalent, but changed code gets a fresh
+#     row). ann_ivf_topk's engine function was also refactored (the
+#     keep=None branch of the shared probe); it is in the r10 cohort
+#     and thus in this window anyway. ann_index_sla_topk reads the
+#     residual rung, untouched by the _index_exact_topk change, and
+#     stays on schedule (r14).
+# 7 + 3 + 1 + 39 of the 44 remaining r10-greens = 50, a full window.
+# The 5 r10-greens that don't fit (each chosen because an in-window
+# sibling covers its capability this round: triangle_count_broadcast /
+# triangle_count+triangle_count_ordered, salted_follower_count /
+# salted_join, distinct_pairs / grouped_collect-family,
+# right_outer_join / inner_join r12-green, explode_tokens /
+# explode_variants) age to 4 and LEAD the r14 window.
+# Forecast: r14 = those 5 + the 45 r11-greens (dedup_stream_lsh
+# excepted — re-rowed this round). r15 = the 50 r12-greens.
+# ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    # rule 3 — 43 of the 50 r9-greens (age 3 entering r12; the last 7
-    # of the cohort are bumped to lead r13 by the rule-1/rule-2 pulls
-    # below — pagerank_idfilter, sssp_distances, sssp_paths,
-    # triangle_count, kmeans_centroids, dedup_exact,
-    # simhash_fingerprints, every one heavily pytest-pinned meanwhile):
-    "cooccurrence_pmi", "dedup_keep_best", "shipmode_priority",
-    "bigram_lm_scores", "batch_sessionize", "scd2_event_intervals",
-    "secondary_sort_orders", "weighted_sample_priority", "doc_provenance",
-    "null_safe_join", "incremental_merge_counts", "events_hourly_gapfill",
-    "cohort_retention", "dedup_cluster_sizes", "vocab_oov_rate",
-    "source_mixture_weights", "conditional_agg_flags", "follower_count",
-    "window_events", "udaf_weighted_avg", "pricing_summary",
-    "similarity_topk", "events_props_json", "sales_rollup",
-    "asof_latest_order", "session_windows", "quantity_percentiles",
-    "pagerank_general", "dedup_minhash_lsh", "doc_fingerprints",
-    "text_stats", "grouped_sum", "grouped_min_max", "global_agg",
-    "grouped_collect", "case_when", "scalar_gauntlet", "inner_join",
-    "semi_join", "broadcast_join", "two_hop_paths", "top_k", "union_reagg",
-    # rule 1 — oracle changed this round (the CC reach tail replaced by
-    # the unrolled min-label propagation, VERDICT r11 Next #3), plus
-    # the two entries whose engine code changed (carried-k sketch):
-    "dedup_clusters_incremental", "distinct_kmv_sketch", "dedup_clusters",
-    "dedup_clusters_star", "corpus_curation",
-    # rule 2 — the r11 adds, never driver-checked (judge-verified exact
-    # in the r11 session; 6-scale local evidence):
-    "distinct_kmv_incremental", "ann_index_sla_topk",
-]
-
-# Outside the driver's 50-row window this round: every entry below has
-# a green driver row from r9 or r10 (ages 1-2 entering r11; none
-# reaches the age-3 bound before its scheduled r12/r13 slot) except
-# the two r11 adds at the end (rule 2 — they enter the r12 window);
-# all are still oracle-checked locally at sf0.001 by
-# tests/test_oracle_parity and at sf0.01 by tools/check_oracles.py
-# every round.
-_TAIL = [
-    # r9-green bumped out of the r12 window by the rule-1/rule-2 pulls:
-    # they lead the r13 window (age 4 at their r13 row — one round past
-    # the nominal bound, the documented cost of rule 1 outranking
-    # rule 3; all seven stay oracle-checked locally every round).
+    # rule 3 — the seven r9-greens at the staleness bound (VERDICT r12
+    # Next #1 names exactly these):
     "pagerank_idfilter", "sssp_distances", "sssp_paths", "triangle_count",
     "kmeans_centroids", "dedup_exact", "simhash_fingerprints",
-    # r10-green (age 2 entering r12): the r13 cohort, less the 3
-    # CC-family entries pulled forward by rule 1.
+    # rule 2 — never driver-checked: the two r12 adds and the r13 add
+    # (build->append->compact->query maintenance chain):
+    "distinct_kmv_stream", "ann_ivf_filtered_topk", "ann_index_compact_topk",
+    # rule 1 — drain-helper code changed this round (ADVICE r12):
+    "dedup_stream_lsh",
+    # rule 3 — 39 of the 44 remaining r10-greens (age 3 entering r13);
+    # ann_ivf_topk carries this round's shared-probe refactor (rule 1
+    # coincides with its scheduled slot):
     "incident_event_counts", "degree_distribution", "value_histogram",
     "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
     "quality_filter", "ann_ivf_hamming_topk", "explode_variants",
@@ -7236,14 +7301,26 @@ _TAIL = [
     "pivot_event_counts", "unpivot_event_counts", "top_supplier",
     "salted_join", "decontamination", "multimodal_meta", "sentence_stats",
     "text_normalize", "inverted_index", "bm25_topk", "max_filter",
-    "distinct_pairs", "right_outer_join", "explode_tokens",
-    "salted_follower_count", "triangle_count_broadcast", "ann_ivf_pq_topk",
-    "dedup_embedding_nearest", "bpe_merges_batched", "ann_pq64_adc_topk",
+    "dedup_embedding_nearest", "bpe_merges_batched",
     "ann_index_append_topk", "ann_ivf_pq64_residual_topk",
-    # r11-green (age 1 entering r12): the r14 cohort, less the 2
-    # sketch entries pulled forward by rule 1.
+    "ann_ivf_pq_topk",
+]
+
+# Outside the driver's 50-row window this round: every entry below has
+# a green driver row from r10-r12 (none older after this window runs);
+# all stay oracle-checked locally at sf0.001 by tests/test_oracle_parity
+# and at sf0.01 by tools/check_oracles.py every round.
+_TAIL = [
+    # r10-green spilled by the r13 rule-1/rule-2 pulls (age 4 at their
+    # r14 row — one round past the nominal bound, same documented cost
+    # r12 paid for the r9s; in-window siblings named in the window
+    # comment above keep each capability covered this round):
+    "triangle_count_broadcast", "salted_follower_count", "distinct_pairs",
+    "right_outer_join", "explode_tokens",
+    # r11-green (age 2 entering r13): the r14 cohort, less
+    # dedup_stream_lsh (pulled forward by rule 1 above).
     "bpe_merges", "set_ops", "bpe_encode_tokens", "epoch_shuffle",
-    "hash_split", "dedup_stream_lsh", "anti_join",
+    "hash_split", "anti_join",
     "customer_running_totals", "lang_id", "udf_discounted_price",
     "repetition_stats", "pii_redact", "order_priority_semi",
     "volume_shipping", "returned_items", "promo_revenue", "large_orders",
@@ -7258,12 +7335,24 @@ _TAIL = [
     "semdedup_keep", "source_quota_sample", "zorder_values",
     "asof_latest_order_cogroup", "bigram_counts", "nation_profit",
     "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
-    # r12 mid-round adds (no driver row yet): the streaming KMV drain
-    # (promoted to a registry row by the r12 retirements, VERDICT r11
-    # Next #8) and filtered vector search (the retrieval-with-filters
-    # shape, taking the spare 150th slot); rule 2 puts both in the
-    # r13 window.
-    "distinct_kmv_stream", "ann_ivf_filtered_topk",
+    # r12-green (age 1 entering r13): the r15 cohort — the full r12
+    # window in its driver order.
+    "cooccurrence_pmi", "dedup_keep_best", "shipmode_priority",
+    "bigram_lm_scores", "batch_sessionize", "scd2_event_intervals",
+    "secondary_sort_orders", "weighted_sample_priority", "doc_provenance",
+    "null_safe_join", "incremental_merge_counts", "events_hourly_gapfill",
+    "cohort_retention", "dedup_cluster_sizes", "vocab_oov_rate",
+    "source_mixture_weights", "conditional_agg_flags", "follower_count",
+    "window_events", "udaf_weighted_avg", "pricing_summary",
+    "similarity_topk", "events_props_json", "sales_rollup",
+    "asof_latest_order", "session_windows", "quantity_percentiles",
+    "pagerank_general", "dedup_minhash_lsh", "doc_fingerprints",
+    "text_stats", "grouped_sum", "grouped_min_max", "global_agg",
+    "grouped_collect", "case_when", "scalar_gauntlet", "inner_join",
+    "semi_join", "broadcast_join", "two_hop_paths", "top_k", "union_reagg",
+    "dedup_clusters_incremental", "distinct_kmv_sketch", "dedup_clusters",
+    "dedup_clusters_star", "corpus_curation",
+    "distinct_kmv_incremental", "ann_index_sla_topk",
 ]
 
 
