@@ -447,6 +447,7 @@ def ivf_topk(
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
     keep: DataFrame | None = None,
+    widen_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-Flat: each query exactly scores only
     the vectors in its ``n_probes`` nearest centroid cells — the
@@ -483,7 +484,18 @@ def ivf_topk(
     hence fully value-checkable by the DuckDB oracle. At 100 TB the
     keep set is ∝ corpus (not broadcastable in general); the count
     pass reads two narrow columns and the semi join shuffles only the
-    probed candidates against it."""
+    probed candidates against it.
+
+    ``widen_to`` (optional, ≥ k) OVER-PROVISIONS the widening target:
+    the probe escalates until that many matching candidates are
+    reachable, not just k. Min-fill widening guarantees a FULL result
+    but scores only the minimum matching set, so under selective
+    predicates recall vs the global filtered truth is capped by how
+    few cells that minimum spans (measured: 0.55 at 0.8% selectivity
+    on the sf0.1 fixture); widen_to = 3–4×k buys the recall back at
+    proportionally more probed cells (the filtered analogue of the
+    unfiltered ladder's rerank-budget lever — the curve is in
+    PERFORMANCE.md "filtered recall vs selectivity")."""
     emb = _emb_normed(embeddings)
     cent = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -504,7 +516,7 @@ def ivf_topk(
     else:
         qprobe = _widened_probe(
             ranked, assigned.select("vec_id", "cell"), keep,
-            n_queries, k, n_cells, n_probes,
+            n_queries, max(k, widen_to or k), n_cells, n_probes,
         )
     candidates = assigned.join(F.broadcast(qprobe), "cell")
     if keep is not None:
@@ -1954,6 +1966,7 @@ def _index_exact_topk(
     n_cells: int,
     n_probes: int,
     keep: DataFrame | None = None,
+    widen_to: int | None = None,
 ) -> DataFrame:
     """Exact-rerank read of the on-disk index: every row of the probed
     cells is cosine-scored against its queries — no compressed
@@ -1999,7 +2012,8 @@ def _index_exact_topk(
         stored_cells = spark.read.parquet(path).select("vec_id", "cell")
         qprobe = _widened_probe(
             ranked, stored_cells, keep,
-            n_queries, k, n_cells, n_probes, qemb_col="qe",
+            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            qemb_col="qe",
         )
     probe_cells = sorted(
         {r["cell"] for r in qprobe.select("cell").distinct().collect()}
@@ -2045,6 +2059,7 @@ def ann_index_filtered_topk(
     k: int = 5,
     n_cells: int = IVF_CELLS,
     n_probes: int = IVF_PROBES,
+    widen_to: int | None = None,
 ) -> DataFrame:
     """Filtered vector search over the ON-DISK index: the
     retrieval-with-filters shape (:func:`ivf_topk` with ``keep``)
@@ -2067,7 +2082,8 @@ def ann_index_filtered_topk(
     (pytest-pinned:
     tests/test_pipeline.py::test_ann_index_filtered_matches_memory)."""
     return _index_exact_topk(
-        spark, path, embeddings, n_queries, k, n_cells, n_probes, keep=keep
+        spark, path, embeddings, n_queries, k, n_cells, n_probes,
+        keep=keep, widen_to=widen_to,
     )
 
 

@@ -208,6 +208,35 @@ def test_ivf_filtered_widens_probe_to_fill_k(spark, sf_dir):
     assert all(r["neighbor_id"] in keepset for r in res)
 
 
+def test_ivf_filtered_widen_to_overprovisions(spark, sf_dir):
+    """The widen_to knob (recall-vs-probes lever for selective
+    predicates): escalating the widening target beyond k must still
+    return exactly k predicate-satisfying rows per query, every plain
+    adaptive neighbor set must stay reachable (the over-provisioned
+    probe is a SUPERSET of cells, and ranking is exact within probed
+    cells, so per-query recall vs the filtered truth can only rise),
+    and the disk twin must stay bit-identical under the same knob."""
+    from collections import Counter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sel = docs.where((F.col("lang") == "de") & (F.col("doc_id") % 3 == 0))
+    keepset = {r["doc_id"] for r in sel.collect()}
+    keep = sel.select(F.col("doc_id").alias("keep_id"))
+    plain = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
+    wide = SS.ivf_topk(
+        emb, n_queries=8, k=5, keep=keep, widen_to=15
+    ).collect()
+    counts = Counter(r["query_id"] for r in wide)
+    assert all(counts.get(q, 0) == 5 for q in range(8)), dict(counts)
+    assert all(r["neighbor_id"] in keepset for r in wide)
+    # exactness within probed cells + superset probe ⇒ per-query best
+    # cosine can only improve (or stay) under over-provisioning
+    best_plain = {r["query_id"]: r["cos"] for r in plain if r["rank"] == 1}
+    best_wide = {r["query_id"]: r["cos"] for r in wide if r["rank"] == 1}
+    assert all(best_wide[q] >= best_plain[q] for q in best_plain)
+
+
 def test_ivf_filtered_short_only_when_corpus_exhausts(spark, sf_dir):
     """When the WHOLE corpus holds fewer than k matching rows, the
     widened probe escalates to every cell and the result is honestly

@@ -9,7 +9,9 @@ against that boundary without re-running the full bench ladder.
 
 Usage: python tools/ann_recall_probe.py [sf_dir] [path ...]
 Paths: pq (4-bit ADC), pq64 (8-bit ADC), ivf_pq, ivf_pq64, hamming,
-ivf (exact rerank), index_sla (on-disk index, recall_sla=0.9 →
+ivf (exact rerank), filtered (recall-vs-selectivity sweep of the
+r13 adaptive widened filtered probe vs the pre-r13 fixed probe, at
+vec_id%m residue selectivities), index_sla (on-disk index, recall_sla=0.9 →
 residual pre-rank + max(auto, ceil(SLA_RERANK_FRACTION·n)) budget,
 4% per the two-density calibration), index_sla_exact
 (recall_sla=1.0 → exact scoring of probed cells). Default: pq pq64
@@ -90,6 +92,100 @@ def main() -> int:
             spark, _index_path(), emb, n_queries=8, k=5, recall_sla=1.0
         ),
     }
+    def filtered_sweep() -> dict:
+        """Recall-vs-selectivity curve for FILTERED search (VERDICT r12
+        Next #2): at each predicate selectivity (vec_id % m == 0 — a
+        deterministic, scale-independent residue class), measure the
+        r13 ADAPTIVE widened probe against the filtered brute-force
+        ground truth, next to what the pre-r13 FIXED n_probes
+        semantics would have returned (reconstructed as: unfiltered
+        probed-cell candidates, post-filtered, top-5). `fill` is the
+        fraction of the 8×5 result slots actually returned — the
+        under-fill the widening exists to close."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from mapreducelearnings_spark.functions import vector as V
+
+        embn = SS._emb_normed(emb)
+        qf = embn.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("ne").alias("qe")
+        )
+        sweep = {}
+        # the full fixed-probe candidate list (keep=None never widens):
+        # reconstructs pre-r13 filtered semantics by post-filtering it
+        fixed_all = SS.ivf_topk(emb, n_queries=8, k=10**9).collect()
+        for m in (2, 8, 32, 128):
+            keep = emb.where((F.col("vec_id") % m) == 0).select(
+                F.col("vec_id").alias("keep_id")
+            )
+            keepset = {r["keep_id"] for r in keep.collect()}
+            # filtered brute-force ground truth: exact cosine top-5
+            # among matching candidates over the WHOLE corpus
+            cand = embn.join(
+                keep, embn["vec_id"] == keep["keep_id"], "left_semi"
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), F.asc("neighbor_id")
+            )
+            tr = (
+                cand.crossJoin(F.broadcast(qf))
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select(
+                    "query_id",
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.round(V.dot(F.col("qe"), F.col("ne")), 6).alias("cos"),
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= 5)
+                .collect()
+            )
+            ftruth: dict[int, set] = {}
+            for r in tr:
+                ftruth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            n_ftruth = sum(len(v) for v in ftruth.values())
+
+            def frecall(rows) -> float:
+                got: dict[int, set] = {}
+                for r in rows:
+                    got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+                return round(
+                    sum(len(ftruth[q] & got.get(q, set())) for q in ftruth)
+                    / max(1, n_ftruth),
+                    4,
+                )
+
+            t0 = time.time()
+            adaptive = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
+            sec = round(time.time() - t0, 1)
+            # the over-provision knob: escalate until 3×k / 6×k matches
+            # are reachable — the recall-vs-probes lever for selective
+            # predicates (min-fill guarantees k rows, not recall)
+            w3 = SS.ivf_topk(
+                emb, n_queries=8, k=5, keep=keep, widen_to=15
+            ).collect()
+            w6 = SS.ivf_topk(
+                emb, n_queries=8, k=5, keep=keep, widen_to=30
+            ).collect()
+            # pre-r13 fixed-probe reconstruction
+            fixed: list = []
+            per_q: dict[int, int] = {}
+            for r in fixed_all:  # already rank-ordered per query
+                if r["neighbor_id"] in keepset and per_q.get(r["query_id"], 0) < 5:
+                    per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+                    fixed.append(r)
+            sweep[f"mod{m}"] = {
+                "selectivity": round(len(keepset) / n, 4),
+                "recall_adaptive": frecall(adaptive),
+                "recall_widen3k": frecall(w3),
+                "recall_widen6k": frecall(w6),
+                "recall_fixed": frecall(fixed),
+                "fill_adaptive": round(len(adaptive) / 40, 4),
+                "fill_fixed": round(len(fixed) / 40, 4),
+                "sec_adaptive": sec,
+            }
+        return sweep
+
     out = {
         "sf_dir": sf_dir,
         "n_vectors": n,
@@ -99,6 +195,9 @@ def main() -> int:
         "sec": {},
     }
     for name in wanted:
+        if name == "filtered":
+            out["filtered_vs_selectivity"] = filtered_sweep()
+            continue
         t0 = time.time()
         out["recall_at_5"][name] = recall(paths[name]().collect())
         out["sec"][name] = round(time.time() - t0, 1)
