@@ -374,6 +374,7 @@ def _widened_probe(
     n_cells: int,
     n_probes: int,
     qemb_col: str = "qemb",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Adaptive per-query probe set for FILTERED search (r13, VERDICT
     r12 Next #2 — the under-fill defense): given the per-query
@@ -436,7 +437,10 @@ def _widened_probe(
             F.lit(n_probes), F.coalesce(F.col("need"), F.lit(n_cells))
         )
     ).select(
-        "query_id", qemb_col, F.col("cid").cast("long").alias("cell")
+        "query_id",
+        qemb_col,
+        F.col("cid").cast("long").alias("cell"),
+        *extra_cols,
     )
 
 
@@ -1573,6 +1577,8 @@ def ivf_pq_residual_topk(
     rerank_mult: int | None = None,
     pq_k: int = PQ_K64,
     pq_m: int = PQ_M,
+    keep: DataFrame | None = None,
+    widen_to: int | None = None,
 ) -> DataFrame:
     """IVF × PQ with RESIDUAL encoding — FAISS ``IVFPQ``'s
     ``encode_residual`` mode, and the lever that actually restores
@@ -1626,13 +1632,27 @@ def ivf_pq_residual_topk(
         "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    qprobe = (
-        qs.withColumn("pr", F.row_number().over(wprobe))
-        .where(F.col("pr") <= n_probes)
-        .select(
+    ranked = qs.withColumn("pr", F.row_number().over(wprobe))
+    if keep is None:
+        qprobe = ranked.where(F.col("pr") <= n_probes).select(
             "query_id", "qe", F.col("cid").cast("long").alias("cell"), "cs"
         )
-    )
+    else:
+        # filtered x compressed (r13, VERDICT r12 Next #6): the same
+        # adaptive widening the exact rung uses, here feeding the
+        # residual PRE-RANK — and the semi join below runs BEFORE the
+        # pre-rank, so the top-R budget counts MATCHING candidates
+        # (a budget that counts unfiltered candidates under-fills with
+        # matches under selective predicates — the failure mode that
+        # kept r12's filtered reads on the exact rung)
+        qprobe = _widened_probe(
+            ranked, assigned.select("vec_id", "cell"), keep,
+            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            qemb_col="qe", extra_cols=("cs",),
+        )
+        codes = codes.join(
+            keep, codes["vec_id"] == keep["keep_id"], "left_semi"
+        )
     part = (
         codes.join(F.broadcast(qprobe), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -2230,6 +2250,8 @@ def ann_index_residual_topk(
     rerank_mult: int | None = None,
     pq_m: int = PQ_M,
     rerank_rows: int | None = None,
+    keep: DataFrame | None = None,
+    widen_to: int | None = None,
 ) -> DataFrame:
     """Query the on-disk index through its RESIDUAL code column — the
     round-10 production default (PERFORMANCE.md "30× recall,
@@ -2267,19 +2289,32 @@ def ann_index_residual_topk(
         "query_id", "qe", "cid", V.dot(F.col("qe"), F.col("ce")).alias("cs")
     )
     wprobe = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cid"))
-    qprobe = (
-        qs.withColumn("pr", F.row_number().over(wprobe))
-        .where(F.col("pr") <= n_probes)
-        .select(
+    ranked = qs.withColumn("pr", F.row_number().over(wprobe))
+    if keep is None:
+        qprobe = ranked.where(F.col("pr") <= n_probes).select(
             "query_id", "qe", F.col("cid").cast("long").alias("cell"), "cs"
         )
-    )
+    else:
+        # filtered x compressed over the stored layout: widening
+        # against the STORED assignment (column-pruned count pass),
+        # semi join before the pre-rank so the budget counts MATCHING
+        # candidates; the widened cell set still partition-prunes
+        qprobe = _widened_probe(
+            ranked, stored.select("vec_id", "cell"), keep,
+            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            qemb_col="qe", extra_cols=("cs",),
+        )
     probe_cells = sorted(
         {r["cell"] for r in qprobe.select("cell").distinct().collect()}
     )
     idx = stored.where(F.col("cell").isin(probe_cells))
+    cand_rows = idx
+    if keep is not None:
+        cand_rows = idx.join(
+            keep, idx["vec_id"] == keep["keep_id"], "left_semi"
+        )
     part = (
-        idx.select(
+        cand_rows.select(
             "vec_id",
             "cell",
             F.posexplode("rq_code").alias("m", "code"),

@@ -291,6 +291,34 @@ def test_ann_index_filtered_matches_memory(spark, sf_dir, tmp_path):
     assert disk_sel
 
 
+def test_ann_index_residual_filtered_matches_memory(spark, sf_dir, tmp_path):
+    """Filtered × compressed composition (r13): the residual pre-rank
+    read with a metadata filter must (a) apply the semi join BEFORE
+    the pre-rank so the top-R budget counts MATCHING candidates, (b)
+    return only predicate-satisfying rows, and (c) stay bit-identical
+    between the in-memory and on-disk paths under both the plain keep
+    and the widen_to over-provision knob — the same disk≡memory
+    convention as every other index read."""
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sel = docs.where((F.col("lang") == "de") & (F.col("doc_id") % 3 == 0))
+    keepset = {r["doc_id"] for r in sel.collect()}
+    keep = sel.select(F.col("doc_id").alias("keep_id"))
+    path = str(tmp_path / "ann_index_resid_filtered")
+    SS.ann_index_write(emb, path)
+    for widen in (None, 15):
+        disk = SS.ann_index_residual_topk(
+            spark, path, emb, n_queries=6, k=5, keep=keep, widen_to=widen
+        ).collect()
+        mem = SS.ivf_pq_residual_topk(
+            emb, n_queries=6, k=5, keep=keep, widen_to=widen
+        ).collect()
+        assert sorted(map(tuple, disk)) == sorted(map(tuple, mem)), widen
+        assert disk and all(r["neighbor_id"] in keepset for r in disk)
+
+
 def test_quality_filter_is_conjunction_of_stats(spark, sf_dir):
     """quality_filter's single-scan output must equal filtering the
     text_stats ⋈ lang_id composition row-for-row (same formulas, one

@@ -167,6 +167,15 @@ def main() -> int:
             w6 = SS.ivf_topk(
                 emb, n_queries=8, k=5, keep=keep, widen_to=30
             ).collect()
+            # filtered x compressed: residual pre-rank whose budget
+            # counts MATCHING candidates (semi join before pre-rank),
+            # probe widened to 3xk — the cheap path selective
+            # predicates lacked while filtered reads paid the exact rung
+            t1 = time.time()
+            resid_w3 = SS.ivf_pq_residual_topk(
+                emb, n_queries=8, k=5, keep=keep, widen_to=15
+            ).collect()
+            sec_resid = round(time.time() - t1, 1)
             # pre-r13 fixed-probe reconstruction
             fixed: list = []
             per_q: dict[int, int] = {}
@@ -179,6 +188,9 @@ def main() -> int:
                 "recall_adaptive": frecall(adaptive),
                 "recall_widen3k": frecall(w3),
                 "recall_widen6k": frecall(w6),
+                "recall_resid_widen3k": frecall(resid_w3),
+                "fill_resid_widen3k": round(len(resid_w3) / 40, 4),
+                "sec_resid_widen3k": sec_resid,
                 "recall_fixed": frecall(fixed),
                 "fill_adaptive": round(len(adaptive) / 40, 4),
                 "fill_fixed": round(len(fixed) / 40, 4),
