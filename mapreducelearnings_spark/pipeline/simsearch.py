@@ -2035,6 +2035,12 @@ def _index_exact_topk(
             n_queries, max(k, widen_to or k), n_cells, n_probes,
             qemb_col="qe",
         )
+        # evaluate the widening ONCE: the probe is bounded
+        # (n_queries x <= n_cells rows), so collect it and rebuild a
+        # local frame — otherwise the scoring join below would re-run
+        # the column-pruned match-count pass a second time
+        _rows = qprobe.collect()
+        qprobe = spark.createDataFrame(_rows, qprobe.schema)
     probe_cells = sorted(
         {r["cell"] for r in qprobe.select("cell").distinct().collect()}
     )
@@ -2304,6 +2310,11 @@ def ann_index_residual_topk(
             n_queries, max(k, widen_to or k), n_cells, n_probes,
             qemb_col="qe", extra_cols=("cs",),
         )
+        # bounded probe (n_queries x <= n_cells rows): evaluate the
+        # widening once and rebuild a local frame, so the pre-rank
+        # join doesn't re-run the match-count pass
+        _rows = qprobe.collect()
+        qprobe = spark.createDataFrame(_rows, qprobe.schema)
     probe_cells = sorted(
         {r["cell"] for r in qprobe.select("cell").distinct().collect()}
     )

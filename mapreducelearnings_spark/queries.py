@@ -7264,9 +7264,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ADVICE r12; results equivalent, but changed code gets a fresh
 #     row). ann_ivf_topk's engine function was also refactored (the
 #     keep=None branch of the shared probe); it is in the r10 cohort
-#     and thus in this window anyway. ann_index_sla_topk reads the
-#     residual rung, untouched by the _index_exact_topk change, and
-#     stays on schedule (r14).
+#     and thus in this window anyway. The residual read paths gained
+#     keep/widen_to parameters late in the round (filtered x
+#     compressed): their keep=None default is the same plan, and —
+#     the r12 default-equivalent-plumbing precedent — this round's
+#     sf0.01 check_oracles re-verified ann_index_sla_topk and
+#     ann_index_append_topk on the new code;
+#     ann_ivf_pq64_residual_topk is in this window regardless, and
+#     ann_index_sla_topk stays on schedule (r14).
 # 7 + 3 + 1 + 39 of the 44 remaining r10-greens = 50, a full window.
 # The 5 r10-greens that don't fit (each chosen because an in-window
 # sibling covers its capability this round: triangle_count_broadcast /
