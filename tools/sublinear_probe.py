@@ -138,6 +138,52 @@ def main() -> int:
     results["ann_index_sla_read"] = row
     print(f"{'ann_index_sla_read':32s} {json.dumps(row)}", flush=True)
 
+    # r13: the FILTERED on-disk read (adaptive widened probe over the
+    # stored index — the match-count pass is column-pruned (vec_id,
+    # cell) so it scales with corpus ROW COUNT but never touches the
+    # vectors; the scoring scan stays partition-pruned). Reuses the
+    # session index the SLA row above already built, so both calls are
+    # pure reads; predicate = vec_id % 128 (selective enough to widen
+    # at base scale, plenty of matches at 100×).
+    from pyspark.sql import functions as F
+
+    from mapreducelearnings_spark.catalog import load_table
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    row = {}
+    for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
+        path = Q._session_index(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        keep = emb.where(F.col("vec_id") % 128 == 0).select(
+            F.col("vec_id").alias("keep_id")
+        )
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = SS.ann_index_filtered_topk(spark, path, emb, keep).count()
+        row[f"{label}_read"] = round(time.perf_counter() - t0, 3)
+        row[f"{label}_rows"] = n
+    row["read_ratio"] = round(
+        row["scaled_read"] / max(row["base_read"], 1e-9), 2
+    )
+    results["ann_index_filtered_read"] = row
+    print(f"{'ann_index_filtered_read':32s} {json.dumps(row)}", flush=True)
+
+    # r13: the maintenance chain, phase-split — compact must be ∝ index
+    # (honest linear, run in the maintenance window), and the query
+    # phase reads the compacted layout
+    for label, sf_dir in (("base", BASE_SF), ("scaled", scaled)):
+        spark.catalog.clearCache()
+        Q.REGISTRY["ann_index_compact_topk"].spark(spark, sf_dir).count()
+        results.setdefault("ann_index_compact_phases", {})[label] = dict(
+            Q.PHASE_TIMES["ann_index_compact_topk"]
+        )
+    ph = results["ann_index_compact_phases"]
+    for phase in ("build_sec", "append_sec", "compact_sec", "query_sec"):
+        ph[f"{phase}_ratio"] = round(
+            ph["scaled"][phase] / max(ph["base"][phase], 1e-9), 2
+        )
+    print(f"{'ann_index_compact_phases':32s} {json.dumps(ph)}", flush=True)
+
     line = json.dumps({"mult": mult, "queries": results})
     with open(os.path.join(out_root, f"sublinear_probe_{mult}x.json"), "w") as f:
         f.write(line + "\n")
