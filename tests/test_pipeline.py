@@ -253,6 +253,33 @@ def test_ivf_filtered_short_only_when_corpus_exhausts(spark, sf_dir):
     counts = Counter(r["query_id"] for r in res)
     assert all(counts.get(q, 0) == len(ids) for q in range(8)), dict(counts)
     assert {r["neighbor_id"] for r in res} == set(ids)
+    # degenerate: an EMPTY keep set must yield an empty result (the
+    # widening probes everything, the semi join keeps nothing), not an
+    # error and not unfiltered rows
+    empty = emb.where(F.lit(False)).select(F.col("vec_id").alias("keep_id"))
+    assert SS.ivf_topk(emb, n_queries=8, k=5, keep=empty).count() == 0
+
+
+def test_ivf_filtered_result_size_invariant(spark, sf_dir):
+    """Size invariant of the adaptive filtered search, swept over
+    predicates of varying selectivity: per query the result holds
+    EXACTLY min(k, corpus-wide matches excluding the query itself)
+    rows — never fewer (under-fill closed), never more, and every row
+    satisfies the predicate."""
+    from collections import Counter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    for mod in (3, 17, 101):
+        sel = emb.where(F.col("vec_id") % mod == 0)
+        keepset = {r["vec_id"] for r in sel.select("vec_id").collect()}
+        keep = sel.select(F.col("vec_id").alias("keep_id"))
+        res = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
+        counts = Counter(r["query_id"] for r in res)
+        for q in range(8):
+            expect = min(5, len(keepset - {q}))
+            assert counts.get(q, 0) == expect, (mod, q, counts.get(q, 0))
+        assert all(r["neighbor_id"] in keepset for r in res), mod
 
 
 def test_ann_index_filtered_matches_memory(spark, sf_dir, tmp_path):
