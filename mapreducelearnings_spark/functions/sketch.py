@@ -247,3 +247,95 @@ def kmv_estimate(
         "sketch_size",
         guarded.alias("est_distinct"),
     )
+
+
+def kmv_jaccard(
+    s1: DataFrame, s2: DataFrame, group_col: str
+) -> DataFrame:
+    """Set-OVERLAP estimation from two KMV sketches (r13) — the
+    theta-sketch intersection trick (Dasgupta et al., "Theta-Sketch
+    Framework", and the KMV original Bar-Yossef et al. RANDOM'02 §4):
+    the k smallest hashes of A ∪ B are a uniform sample of the union,
+    so the fraction of them present in BOTH input sketches is an
+    unbiased Jaccard estimate, and intersection ≈ jaccard × |A ∪ B|.
+    This is the decontamination-at-scale primitive: "how much does my
+    training corpus overlap that benchmark / yesterday's crawl?"
+    answered by exchanging two k-row sketches — never joining the
+    corpora (the exact answer at 100 TB is a full co-shuffle of both).
+
+    Inputs are per-group sketch frames from :func:`kmv_sketch` /
+    :func:`kmv_merge` (columns group, u, k; ≤ k rows per group; k
+    carried and validated — mixed-k groups raise, same contract as
+    merge/estimate). Output per group: sketch_size (|U_k|), jaccard,
+    est_union, est_intersection. When the union sketch never filled
+    (sketch_size < k) the union sample IS the whole union, so jaccard
+    and est_intersection are EXACT, not estimates — the same exact
+    small-regime degradation the point estimator has.
+
+    Determinism: membership joins are over md5-derived hashes (both
+    engines identical), jaccard is one IEEE division of two small
+    ints, est_union the shared :func:`_estimate_expr`, and the product
+    is 4-dp floor-quantized — every step bit-reproducible in DuckDB,
+    so the whole surface is exactly oracle-checkable (pytest pins it
+    against an inline DuckDB twin).
+
+    Scale shape: both inputs are ≤ k rows per group by construction;
+    the merge, the two membership joins and the final aggregate all
+    run on k-bounded frames — the only corpus-sized work happened at
+    sketch build time, once per corpus, reused by every overlap
+    question asked afterwards."""
+    u = kmv_merge(s1, s2, group_col)
+    in_a = s1.select(
+        group_col, "u", F.lit(1).alias("_in_a")
+    ).distinct()
+    in_b = s2.select(
+        group_col, "u", F.lit(1).alias("_in_b")
+    ).distinct()
+    joined = (
+        u.join(in_a, [group_col, "u"], "left")
+        .join(in_b, [group_col, "u"], "left")
+    )
+    agg = joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("u").alias("_umax"),
+        F.min("k").alias("_kmin"),
+        F.max("k").alias("_kmax"),
+        F.sum(
+            F.when(
+                F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("_both"),
+    )
+    kcol = F.when(
+        F.col("_kmin") != F.col("_kmax"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "kmv_jaccard: mixed build-time k within group — "
+                    "group="
+                ),
+                F.col(group_col).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("_kmax"))
+    est_union = _estimate_expr(F.col("sketch_size"), F.col("_umax"), kcol)
+    jacc = (
+        F.floor(
+            (
+                F.col("_both").cast("double")
+                / F.col("sketch_size").cast("double")
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return agg.select(
+        group_col,
+        "sketch_size",
+        jacc.alias("jaccard"),
+        est_union.alias("est_union"),
+        (F.floor(jacc * est_union * 10000 + F.lit(0.5)) / 10000).alias(
+            "est_intersection"
+        ),
+    )

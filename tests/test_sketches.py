@@ -253,3 +253,119 @@ def test_kmv_sketch_drops_null_ids(spark):
     assert sorted(r["u"] for r in SK.kmv_sketch(dirty, "g", "v").collect()) == sorted(
         r["u"] for r in SK.kmv_sketch(clean, "g", "v").collect()
     )
+
+
+def test_kmv_jaccard_exact_in_small_regime(spark):
+    """When the union sketch never fills (|A ∪ B| < k), the Jaccard is
+    EXACT — the same exact-regime degradation the point estimator has.
+    Crafted overlap: A = 0..29, B = 20..49 → |A∩B| = 10, |A∪B| = 50,
+    J = 0.2."""
+    from mapreducelearnings_spark.functions import sketch as K
+
+    a = spark.range(0, 30).selectExpr("'g' AS grp", "id AS v")
+    b = spark.range(20, 50).selectExpr("'g' AS grp", "id AS v")
+    sa = K.kmv_sketch(a, "grp", "v")
+    sb = K.kmv_sketch(b, "grp", "v")
+    row = K.kmv_jaccard(sa, sb, "grp").collect()[0]
+    assert row["sketch_size"] == 50
+    assert row["jaccard"] == 0.2
+    assert row["est_union"] == 50.0
+    assert row["est_intersection"] == 10.0
+    # commutative (the merge is a set union, membership is symmetric)
+    row2 = K.kmv_jaccard(sb, sa, "grp").collect()[0]
+    assert tuple(row) == tuple(row2)
+    # self-overlap is exactly 1.0 x the union estimate
+    srow = K.kmv_jaccard(sa, sa, "grp").collect()[0]
+    assert srow["jaccard"] == 1.0
+    assert srow["est_intersection"] == srow["est_union"]
+
+
+def test_kmv_jaccard_matches_duckdb_exactly(spark, sf_dir, duck):
+    """The whole overlap surface — union sketch, membership, jaccard,
+    est_union, est_intersection — recomputed independently in DuckDB
+    from the same parquet must match the Spark result VALUE-FOR-VALUE
+    (the registry-grade determinism contract, held without a registry
+    slot: per-event-type audience overlap against the 'purchase'
+    cohort)."""
+    from mapreducelearnings_spark.functions import sketch as K
+
+    ev = load_table(spark, sf_dir, "events")
+    sa = K.kmv_sketch(ev, "event_type", "user_id")
+    ref = K.kmv_sketch(
+        ev.where(F.col("event_type") == "purchase").withColumn(
+            "event_type", F.lit("_ref")
+        ),
+        "event_type",
+        "user_id",
+    ).drop("event_type")
+    groups = ev.select("event_type").distinct()
+    sb = groups.crossJoin(ref)
+    got = {
+        r["event_type"]: (
+            r["sketch_size"],
+            r["jaccard"],
+            r["est_union"],
+            r["est_intersection"],
+        )
+        for r in K.kmv_jaccard(sa, sb, "event_type").collect()
+    }
+    kk = K.KMV_K
+    base = float(K.KMV_HASH_BASE)
+    sql = f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS u
+      FROM events WHERE user_id IS NOT NULL),
+    sa AS (SELECT event_type, u FROM
+           (SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u)
+                     AS rn FROM h)
+           WHERE rn <= {kk}),
+    refh AS (SELECT u FROM
+             (SELECT u, row_number() OVER (ORDER BY u) AS rn
+              FROM h WHERE event_type = 'purchase')
+             WHERE rn <= {kk}),
+    sb AS (SELECT g.event_type, refh.u
+           FROM (SELECT DISTINCT event_type FROM events) g
+           CROSS JOIN refh),
+    un AS (SELECT event_type, u FROM
+           (SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u)
+                     AS rn
+            FROM (SELECT event_type, u FROM sa
+                  UNION SELECT event_type, u FROM sb))
+           WHERE rn <= {kk}),
+    m AS (SELECT un.event_type,
+                 COUNT(*) AS sketch_size,
+                 MAX(un.u) AS umax,
+                 SUM(CASE WHEN sa.u IS NOT NULL AND sb.u IS NOT NULL
+                          THEN 1 ELSE 0 END) AS n_both
+          FROM un
+          LEFT JOIN sa ON un.event_type = sa.event_type AND un.u = sa.u
+          LEFT JOIN sb ON un.event_type = sb.event_type AND un.u = sb.u
+          GROUP BY un.event_type)
+    SELECT event_type, sketch_size,
+           FLOOR((CAST(n_both AS DOUBLE) / CAST(sketch_size AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS jaccard,
+           CASE WHEN sketch_size < {kk}
+                THEN CAST(sketch_size AS DOUBLE)
+                ELSE FLOOR(({float(kk - 1)} * {base}
+                            / CAST(umax + 1 AS DOUBLE)) * 10000 + 0.5)
+                     / 10000
+           END AS est_union
+    FROM m
+    """
+    want = {}
+    for et, size, jac, eu in duck.sql(sql).fetchall():
+        import math
+
+        want[et] = (
+            size,
+            jac,
+            eu,
+            math.floor(jac * eu * 10000 + 0.5) / 10000,
+        )
+    assert got == want
+    # the reference cohort overlapped with itself estimates J = 1
+    assert got["purchase"][1] == 1.0
