@@ -170,7 +170,10 @@ HEADLINE = [
     "ann_ivf_filtered_topk",
     "ann_ivf_trained_topk",
     "ann_ivf_hamming_topk",
-    "ann_ivf_pq_topk",
+    # r13: ann_ivf_pq_topk retired (superseded by the residual rung;
+    # recall still measured below) — its headline slot goes to the
+    # corpus-overlap sketch
+    "distinct_kmv_jaccard",
     "similarity_topk_q8",
     # r12: the streaming KMV drain promoted to a registry row by the
     # retirements above (VERDICT r11 Next #8)

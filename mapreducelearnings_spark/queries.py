@@ -3396,6 +3396,95 @@ def q_distinct_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_kmv_jaccard",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS u
+      FROM events WHERE user_id IS NOT NULL),
+    sa AS (SELECT event_type, u FROM
+           (SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u)
+                     AS rn FROM h)
+           WHERE rn <= {KMV.KMV_K}),
+    refh AS (SELECT u FROM
+             (SELECT u, row_number() OVER (ORDER BY u) AS rn
+              FROM h WHERE event_type = 'purchase')
+             WHERE rn <= {KMV.KMV_K}),
+    sb AS (SELECT g.event_type, refh.u
+           FROM (SELECT DISTINCT event_type FROM events) g
+           CROSS JOIN refh),
+    un AS (SELECT event_type, u FROM
+           (SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u)
+                     AS rn
+            FROM (SELECT event_type, u FROM sa
+                  UNION SELECT event_type, u FROM sb))
+           WHERE rn <= {KMV.KMV_K}),
+    m AS (SELECT un.event_type,
+                 COUNT(*) AS n_rows,
+                 MAX(un.u) AS umax,
+                 SUM(CASE WHEN sa.u IS NOT NULL AND sb.u IS NOT NULL
+                          THEN 1 ELSE 0 END) AS n_both
+          FROM un
+          LEFT JOIN sa ON un.event_type = sa.event_type AND un.u = sa.u
+          LEFT JOIN sb ON un.event_type = sb.event_type AND un.u = sb.u
+          GROUP BY un.event_type),
+    q AS (SELECT event_type,
+                 CAST(n_rows AS BIGINT) AS sketch_size,
+                 FLOOR((CAST(n_both AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                       * 10000 + 0.5) / 10000 AS jaccard,
+                 CASE WHEN n_rows < {KMV.KMV_K}
+                      THEN CAST(n_rows AS DOUBLE)
+                      ELSE FLOOR(({float(KMV.KMV_K - 1)}
+                                  * {float(KMV.KMV_HASH_BASE)}
+                                  / CAST(umax + 1 AS DOUBLE)) * 10000 + 0.5)
+                           / 10000
+                 END AS est_union
+          FROM m)
+    SELECT event_type, sketch_size, jaccard, est_union,
+           FLOOR(jaccard * est_union * 10000 + 0.5) / 10000
+             AS est_intersection
+    FROM q
+    """,
+    doc="KMV set-overlap / Jaccard estimation (r13) — the "
+    "decontamination-at-scale primitive: 'how much does my training "
+    "corpus overlap that benchmark / yesterday's crawl?' answered by "
+    "exchanging two k-row sketches, never joining the corpora (the "
+    "exact answer at 100 TB is a full co-shuffle of both). "
+    "Theta-sketch intersection (Bar-Yossef et al. RANDOM'02 §4): the "
+    "k smallest hashes of A ∪ B are a uniform union sample, the "
+    "fraction present in BOTH input sketches estimates Jaccard "
+    "(membership below the union threshold is exact when the input "
+    "sketch is full), intersection ≈ J × est|A∪B|; EXACT whenever the "
+    "union sketch never fills. Framing: per-event-type audience "
+    "overlap against the 'purchase' cohort (every group's user set "
+    "genuinely overlaps the reference — users fire multiple event "
+    "types). md5-deterministic end-to-end — jaccard is one IEEE "
+    "division of two small ints, est_union the shared KMV estimator, "
+    "the product 4-dp floor-quantized — so the whole overlap surface "
+    "sits in the driver's hash-compared gate, which no HLL-based "
+    "overlap can. The merge, membership joins and aggregate all run "
+    "on k-bounded frames; the only corpus-sized work is the sketch "
+    "build, once per corpus, amortized across every overlap question.",
+)
+def q_distinct_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sa = KMV.kmv_sketch(ev, "event_type", "user_id")
+    ref = KMV.kmv_sketch(
+        ev.where(F.col("event_type") == "purchase").withColumn(
+            "event_type", F.lit("_ref")
+        ),
+        "event_type",
+        "user_id",
+    ).drop("event_type")
+    groups = ev.select("event_type").distinct()
+    sb = groups.crossJoin(ref)
+    return KMV.kmv_jaccard(sa, sb, "event_type")
+
+
+@register(
     "distinct_kmv_stream",
     # the from-scratch batch sketch over the whole table — the stream's
     # final keyed state must equal it EXACTLY (same SQL shape as
@@ -4991,10 +5080,22 @@ def _ivf_pq_oracle(
     """
 
 
-@register(
+@retire(
     "ann_ivf_pq_topk",
     _ivf_pq_oracle(),
-    doc="IVF × PQ-ADC composition — the FAISS-IVFPQ read path, the "
+    doc="RETIRED from the driver rotation (r13: the slot funds "
+    "distinct_kmv_jaccard — corpus-overlap estimation earned a driver "
+    "row more than a superseded ladder rung): its r10 driver row is "
+    "green, the absolute-code IVF×PQ composition is superseded for "
+    "production reads by the residual encoding "
+    "(ann_ivf_pq64_residual_topk, in rotation — same plumbing, "
+    "strictly better codes at equal budget) and the SLA read path "
+    "(ann_index_sla_topk, in rotation); its recall stays measured in "
+    "bench.py's recall block every round, its SQL remains exercised "
+    "as the ORACLE of the two driver-checked index chains "
+    "(ann_index_append_topk, ann_index_compact_topk), and local "
+    "oracle coverage continues via RETIRED parametrization. "
+    "IVF × PQ-ADC composition — the FAISS-IVFPQ read path, the "
     "standard billion-scale index shape: prune to the query's 3 "
     "nearest coarse cells, ADC-pre-rank the survivors over their "
     "32-bit PQ codes (4 B/row — 4× less than even the sign-Hamming "
@@ -7273,6 +7374,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ann_ivf_pq64_residual_topk is in this window regardless, and
 #     ann_index_sla_topk stays on schedule (r14).
 # 7 + 3 + 1 + 39 of the 44 remaining r10-greens = 50, a full window.
+# Late-round amendment: ann_ivf_pq_topk (one of the 39) was retired to
+# fund distinct_kmv_jaccard, which takes its window place under rule 2
+# — still 50.
 # The 5 r10-greens that don't fit (each chosen because an in-window
 # sibling covers its capability this round: triangle_count_broadcast /
 # triangle_count+triangle_count_ordered, salted_follower_count /
@@ -7308,7 +7412,10 @@ _CORRECTNESS_WINDOW = [
     "text_normalize", "inverted_index", "bm25_topk", "max_filter",
     "dedup_embedding_nearest", "bpe_merges_batched",
     "ann_index_append_topk", "ann_ivf_pq64_residual_topk",
-    "ann_ivf_pq_topk",
+    # rule 2 — registered late in r13 (corpus-overlap estimation; slot
+    # and window place funded by retiring ann_ivf_pq_topk, whose SQL
+    # stays exercised as the chain entries' oracle):
+    "distinct_kmv_jaccard",
 ]
 
 # Outside the driver's 50-row window this round: every entry below has

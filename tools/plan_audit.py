@@ -55,6 +55,11 @@ BNLJ_BOUNDED_ALLOWLIST = frozenset(
         # r12: filtered vector search — same 8-row probe cross join;
         # the metadata filter itself is an equi semi join, not BNLJ
         "ann_ivf_filtered_topk",
+        # r13: corpus-overlap sketch — the <=k-row (64) reference
+        # sketch replicated across the <=5 distinct group values by a
+        # bounded cross join; every other join in the plan is an equi
+        # join over k-bounded sketch frames
+        "distinct_kmv_jaccard",
         "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_ivf_hamming_topk",
         "ann_ivf_pq_topk",
         # round-10: same k-row broadcast probe/centroid idiom
