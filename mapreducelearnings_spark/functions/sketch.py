@@ -339,3 +339,61 @@ def kmv_jaccard(
             "est_intersection"
         ),
     )
+
+
+def kmv_containment(
+    s1: DataFrame, s2: DataFrame, group_col: str
+) -> DataFrame:
+    """DIRECTIONAL overlap from two KMV sketches (r13): containment
+    C(A in B) = |A ∩ B| / |A| — the question decontamination actually
+    asks ("what fraction of the BENCHMARK is inside my training
+    set?"), which Jaccard blurs whenever the two corpora differ in
+    size (a 100-doc benchmark fully contained in a 1B-doc corpus has
+    J ≈ 0 but C = 1). Estimated from the same sketch algebra as
+    :func:`kmv_jaccard`: intersection ≈ J × est|A ∪ B| over the union
+    sample, each side's cardinality from its own sketch — so the whole
+    row is derived from two k-row frames, EXACT whenever the union
+    sketch never fills, and deterministic end-to-end (every factor is
+    an already-pinned expression: the union estimator, the membership
+    fraction, the per-side estimators; the divisions are IEEE over
+    identical operands, 4-dp floor-quantized).
+
+    Output per group: est_a, est_b, est_intersection, and both
+    directions —
+
+    - ``containment_a_in_b`` = est_intersection / est_a: the fraction
+      of A's distinct ids also present in B.
+    - ``containment_b_in_a`` = est_intersection / est_b: the fraction
+      of B's distinct ids also present in A.
+
+    Scale shape: identical to kmv_jaccard — k-bounded frames only."""
+    j = kmv_jaccard(s1, s2, group_col).select(
+        group_col, "est_intersection"
+    )
+    ea = kmv_estimate(s1, group_col).select(
+        group_col, F.col("est_distinct").alias("est_a")
+    )
+    eb = kmv_estimate(s2, group_col).select(
+        group_col, F.col("est_distinct").alias("est_b")
+    )
+    q = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        j.join(ea, group_col)
+        .join(eb, group_col)
+        .select(
+            group_col,
+            "est_a",
+            "est_b",
+            "est_intersection",
+            q(
+                F.when(F.col("est_a") > 0,
+                       F.col("est_intersection") / F.col("est_a"))
+                .otherwise(F.lit(0.0))
+            ).alias("containment_a_in_b"),
+            q(
+                F.when(F.col("est_b") > 0,
+                       F.col("est_intersection") / F.col("est_b"))
+                .otherwise(F.lit(0.0))
+            ).alias("containment_b_in_a"),
+        )
+    )

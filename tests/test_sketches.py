@@ -369,3 +369,71 @@ def test_kmv_jaccard_matches_duckdb_exactly(spark, sf_dir, duck):
     assert got == want
     # the reference cohort overlapped with itself estimates J = 1
     assert got["purchase"][1] == 1.0
+
+
+def test_kmv_containment_exact_and_asymmetric(spark):
+    """Directional overlap: a small set fully inside a big one has
+    containment 1.0 in that direction while Jaccard is far below — the
+    distinction that makes containment (not Jaccard) the
+    decontamination metric. Exact regime (union sketch never fills):
+    A = 0..9 ⊂ B = 0..49 → C(A in B) = 1.0, C(B in A) = 0.2, J = 0.2."""
+    from mapreducelearnings_spark.functions import sketch as K
+
+    a = spark.range(0, 10).selectExpr("'g' AS grp", "id AS v")
+    b = spark.range(0, 50).selectExpr("'g' AS grp", "id AS v")
+    sa = K.kmv_sketch(a, "grp", "v")
+    sb = K.kmv_sketch(b, "grp", "v")
+    row = K.kmv_containment(sa, sb, "grp").collect()[0]
+    assert row["est_a"] == 10.0 and row["est_b"] == 50.0
+    assert row["est_intersection"] == 10.0
+    assert row["containment_a_in_b"] == 1.0
+    assert row["containment_b_in_a"] == 0.2
+    jrow = K.kmv_jaccard(sa, sb, "grp").collect()[0]
+    assert jrow["jaccard"] == 0.2
+
+
+def test_kmv_containment_consistent_with_pinned_parts(spark, sf_dir):
+    """On real data in the estimator regime, every containment column
+    must equal the 4-dp-quantized ratio of the ALREADY-PINNED parts
+    (kmv_jaccard's est_intersection over kmv_estimate's per-side
+    estimates) — i.e. the function introduces no arithmetic of its
+    own beyond the documented quantized divisions."""
+    import math
+
+    from mapreducelearnings_spark.functions import sketch as K
+
+    ev = load_table(spark, sf_dir, "events")
+    sa = K.kmv_sketch(ev, "event_type", "user_id")
+    ref = K.kmv_sketch(
+        ev.where(F.col("event_type") == "purchase").withColumn(
+            "event_type", F.lit("_ref")
+        ),
+        "event_type",
+        "user_id",
+    ).drop("event_type")
+    sb = ev.select("event_type").distinct().crossJoin(ref)
+    inter = {
+        r["event_type"]: r["est_intersection"]
+        for r in K.kmv_jaccard(sa, sb, "event_type").collect()
+    }
+    ea = {
+        r["event_type"]: r["est_distinct"]
+        for r in K.kmv_estimate(sa, "event_type").collect()
+    }
+    eb = {
+        r["event_type"]: r["est_distinct"]
+        for r in K.kmv_estimate(sb, "event_type").collect()
+    }
+    got = K.kmv_containment(sa, sb, "event_type").collect()
+    assert len(got) == len(inter)
+    for r in got:
+        et = r["event_type"]
+        assert r["est_a"] == ea[et] and r["est_b"] == eb[et]
+        assert r["est_intersection"] == inter[et]
+        assert r["containment_a_in_b"] == math.floor(
+            inter[et] / ea[et] * 10000 + 0.5
+        ) / 10000
+        assert r["containment_b_in_a"] == math.floor(
+            inter[et] / eb[et] * 10000 + 0.5
+        ) / 10000
+        assert 0.0 <= r["containment_a_in_b"] <= 1.0 + 1e-9
