@@ -366,6 +366,13 @@ def kmv_containment(
     - ``containment_b_in_a`` = est_intersection / est_b: the fraction
       of B's distinct ids also present in A.
 
+    Both ratios are clamped to [0, 1] before quantization (ADVICE
+    r13): est_intersection = J × est_union and each side's estimator
+    carry independent error, so in the estimator regime the raw ratio
+    can exceed 1.0 — out of range for a containment metric. The clamp
+    is a LEAST against 1.0 over already-deterministic operands, so it
+    stays bit-reproducible in DuckDB (oracle mirrors it).
+
     Scale shape: identical to kmv_jaccard — k-bounded frames only."""
     j = kmv_jaccard(s1, s2, group_col).select(
         group_col, "est_intersection"
@@ -386,14 +393,20 @@ def kmv_containment(
             "est_b",
             "est_intersection",
             q(
-                F.when(F.col("est_a") > 0,
-                       F.col("est_intersection") / F.col("est_a"))
-                .otherwise(F.lit(0.0))
+                F.least(
+                    F.lit(1.0),
+                    F.when(F.col("est_a") > 0,
+                           F.col("est_intersection") / F.col("est_a"))
+                    .otherwise(F.lit(0.0)),
+                )
             ).alias("containment_a_in_b"),
             q(
-                F.when(F.col("est_b") > 0,
-                       F.col("est_intersection") / F.col("est_b"))
-                .otherwise(F.lit(0.0))
+                F.least(
+                    F.lit(1.0),
+                    F.when(F.col("est_b") > 0,
+                           F.col("est_intersection") / F.col("est_b"))
+                    .otherwise(F.lit(0.0)),
+                )
             ).alias("containment_b_in_a"),
         )
     )

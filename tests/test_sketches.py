@@ -430,10 +430,45 @@ def test_kmv_containment_consistent_with_pinned_parts(spark, sf_dir):
         et = r["event_type"]
         assert r["est_a"] == ea[et] and r["est_b"] == eb[et]
         assert r["est_intersection"] == inter[et]
+        # the r14 clamp (ADVICE r13): ratio capped at 1.0 BEFORE the
+        # 4-dp quantization — estimator error on independent sides can
+        # push the raw ratio above 1
         assert r["containment_a_in_b"] == math.floor(
-            inter[et] / ea[et] * 10000 + 0.5
+            min(1.0, inter[et] / ea[et]) * 10000 + 0.5
         ) / 10000
         assert r["containment_b_in_a"] == math.floor(
-            inter[et] / eb[et] * 10000 + 0.5
+            min(1.0, inter[et] / eb[et]) * 10000 + 0.5
         ) / 10000
-        assert 0.0 <= r["containment_a_in_b"] <= 1.0 + 1e-9
+        assert 0.0 <= r["containment_a_in_b"] <= 1.0
+        assert 0.0 <= r["containment_b_in_a"] <= 1.0
+
+
+def test_kmv_containment_clamps_estimator_overshoot(spark):
+    """The ADVICE-r13 clamp must ENGAGE: est_intersection = J × est_union
+    and est_a carry independent estimator error, so the raw ratio can
+    exceed 1.0. Hand-built sketch frames force that regime — side A's
+    k-th hash is far larger than the union sample's (A saw a sparse
+    hash tail, so est_a is small), while the union sample overlaps A
+    almost entirely (J high, est_union large). The raw
+    est_intersection/est_a is ≈2.2; the column must read exactly 1.0."""
+    import math
+
+    from mapreducelearnings_spark.functions import sketch as K
+
+    B = K.KMV_HASH_BASE
+    mk = lambda us: spark.createDataFrame(  # noqa: E731
+        [("g", u, 4) for u in us], "grp string, u long, k int"
+    )
+    # k=4, both sketches full → estimator branch everywhere
+    sa = mk([B // 10, B // 5, (3 * B) // 10, (9 * B) // 10])
+    sb = mk([B // 10, B // 5, (3 * B) // 10, (31 * B) // 100])
+    row = K.kmv_containment(sa, sb, "grp").collect()[0]
+    # raw overshoot is real: intersection estimate exceeds est_a
+    assert row["est_intersection"] > row["est_a"]
+    # ... and the published metric is clamped into range
+    assert row["containment_a_in_b"] == 1.0
+    # the un-clamped direction still equals the quantized ratio of parts
+    assert row["containment_b_in_a"] == math.floor(
+        min(1.0, row["est_intersection"] / row["est_b"]) * 10000 + 0.5
+    ) / 10000
+    assert row["containment_b_in_a"] < 1.0

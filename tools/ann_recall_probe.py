@@ -115,6 +115,10 @@ def main() -> int:
         # the full fixed-probe candidate list (keep=None never widens):
         # reconstructs pre-r13 filtered semantics by post-filtering it
         fixed_all = SS.ivf_topk(emb, n_queries=8, k=10**9).collect()
+        # collect() order is partition-interleaved, not guaranteed; the
+        # reconstruction scan below depends on per-query rank order
+        # (ADVICE r13) — sort explicitly before scanning
+        fixed_all.sort(key=lambda r: (r["query_id"], r["rank"]))
         for m in (2, 8, 32, 128):
             keep = emb.where((F.col("vec_id") % m) == 0).select(
                 F.col("vec_id").alias("keep_id")
@@ -179,7 +183,7 @@ def main() -> int:
             # pre-r13 fixed-probe reconstruction
             fixed: list = []
             per_q: dict[int, int] = {}
-            for r in fixed_all:  # already rank-ordered per query
+            for r in fixed_all:  # sorted (query_id, rank) above
                 if r["neighbor_id"] in keepset and per_q.get(r["query_id"], 0) < 5:
                     per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
                     fixed.append(r)
