@@ -365,6 +365,30 @@ def _assign_cells(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+#: Default over-provisioning multiple for FILTERED search widening
+#: (r14, VERDICT r13 Next #3): the adaptive probe escalates until
+#: FILTERED_WIDEN_MULT × k matching candidates are reachable, not just
+#: k. Min-fill (target = k) guarantees a FULL result but scores only
+#: the minimum matching set, capping recall vs the filtered truth at
+#: ultra-selectivity (measured 0.55 at 0.8% selectivity on the sf0.1
+#: fixture); 3×k buys it back to 0.975 at proportionally more probed
+#: cells (PERFORMANCE.md "filtered recall vs selectivity"). Recall is
+#: the production default; min-fill is the opt-OUT (widen_to=k).
+FILTERED_WIDEN_MULT = 3
+
+
+def _widen_target(k: int, widen_to: int | None) -> int:
+    """Resolve the filtered-search widening target: ``widen_to=None``
+    (the default) over-provisions to ``FILTERED_WIDEN_MULT × k``;
+    an explicit ``widen_to`` is floored at k (a target below k could
+    under-fill the result, which no caller can want). Shared by every
+    keep= path — in-memory, on-disk, and the compressed rungs — so the
+    memory≡disk bit-equality contract holds under the default too."""
+    if widen_to is None:
+        return FILTERED_WIDEN_MULT * k
+    return max(k, widen_to)
+
+
 def _widened_probe(
     ranked: DataFrame,
     cells: DataFrame,
@@ -475,7 +499,8 @@ def ivf_topk(
     rows whenever the probed cells hold < k matching candidates —
     exactly what selective predicates do). Per query, the probe takes
     the smallest prefix of the similarity-ranked cell list whose
-    cumulative MATCHING-candidate count reaches k, floored at
+    cumulative MATCHING-candidate count reaches the widening target
+    (default 3×k since r14 — see ``widen_to`` below), floored at
     ``n_probes`` and capped at ``n_cells`` (if the whole corpus has
     < k matches, all cells are probed and the result is honestly
     short). The per-cell match counts are one column-pruned aggregate
@@ -484,22 +509,29 @@ def ivf_topk(
     the per-query widening math runs over the tiny
     n_queries × n_cells ranked-cell frame. So a permissive predicate
     pays the unfiltered plan plus one narrow count, while a selective
-    one widens exactly as far as k results require — deterministic,
+    one widens exactly as far as the target requires — deterministic,
     hence fully value-checkable by the DuckDB oracle. At 100 TB the
     keep set is ∝ corpus (not broadcastable in general); the count
     pass reads two narrow columns and the semi join shuffles only the
     probed candidates against it.
 
-    ``widen_to`` (optional, ≥ k) OVER-PROVISIONS the widening target:
-    the probe escalates until that many matching candidates are
-    reachable, not just k. Min-fill widening guarantees a FULL result
-    but scores only the minimum matching set, so under selective
+    ``widen_to`` sets the widening TARGET: how many matching
+    candidates the probe escalates to make reachable. The default
+    (None) over-provisions to ``FILTERED_WIDEN_MULT × k`` = 3×k —
+    recall-first, the production default since r14 (VERDICT r13 Next
+    #3): min-fill widening (target = k) guarantees a FULL result but
+    scores only the minimum matching set, so under selective
     predicates recall vs the global filtered truth is capped by how
     few cells that minimum spans (measured: 0.55 at 0.8% selectivity
-    on the sf0.1 fixture); widen_to = 3–4×k buys the recall back at
-    proportionally more probed cells (the filtered analogue of the
-    unfiltered ladder's rerank-budget lever — the curve is in
-    PERFORMANCE.md "filtered recall vs selectivity")."""
+    on the sf0.1 fixture, vs 0.975 at 3×k — the curve is in
+    PERFORMANCE.md "filtered recall vs selectivity"). Pass
+    ``widen_to=k`` to opt OUT back to min-fill (cheapest full
+    result), or higher (e.g. 6×k) to buy more recall at
+    proportionally more probed cells — the filtered analogue of the
+    unfiltered ladder's rerank-budget lever. Permissive predicates
+    are unaffected either way: the probe floors at ``n_probes``, so
+    whenever the fixed probe already reaches the target, the plan is
+    the unfiltered one plus one narrow count."""
     emb = _emb_normed(embeddings)
     cent = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -520,7 +552,7 @@ def ivf_topk(
     else:
         qprobe = _widened_probe(
             ranked, assigned.select("vec_id", "cell"), keep,
-            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            n_queries, _widen_target(k, widen_to), n_cells, n_probes,
         )
     candidates = assigned.join(F.broadcast(qprobe), "cell")
     if keep is not None:
@@ -1647,7 +1679,7 @@ def ivf_pq_residual_topk(
         # kept r12's filtered reads on the exact rung)
         qprobe = _widened_probe(
             ranked, assigned.select("vec_id", "cell"), keep,
-            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            n_queries, _widen_target(k, widen_to), n_cells, n_probes,
             qemb_col="qe", extra_cols=("cs",),
         )
         codes = codes.join(
@@ -2032,7 +2064,7 @@ def _index_exact_topk(
         stored_cells = spark.read.parquet(path).select("vec_id", "cell")
         qprobe = _widened_probe(
             ranked, stored_cells, keep,
-            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            n_queries, _widen_target(k, widen_to), n_cells, n_probes,
             qemb_col="qe",
         )
         # evaluate the widening ONCE: the probe is bounded
@@ -2307,7 +2339,7 @@ def ann_index_residual_topk(
         # candidates; the widened cell set still partition-prunes
         qprobe = _widened_probe(
             ranked, stored.select("vec_id", "cell"), keep,
-            n_queries, max(k, widen_to or k), n_cells, n_probes,
+            n_queries, _widen_target(k, widen_to), n_cells, n_probes,
             qemb_col="qe", extra_cols=("cs",),
         )
         # bounded probe (n_queries x <= n_cells rows): evaluate the

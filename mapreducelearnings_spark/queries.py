@@ -1796,13 +1796,18 @@ def _ivf_filtered_oracle_branch(
     k: int = 5,
     n_cells: int = SS.IVF_CELLS,
     n_probes: int = SS.IVF_PROBES,
+    widen_to: int | None = None,
 ) -> str:
     """One predicate branch of the filtered-search oracle: SQL mirror
-    of SS.ivf_topk(keep=...) INCLUDING the r13 adaptive probe widening
+    of SS.ivf_topk(keep=...) INCLUDING the adaptive probe widening
     (SS._widened_probe) — per query, the probe takes the smallest
     similarity-rank prefix of cells whose cumulative matching-candidate
-    count (keep-joined, self excluded) reaches k, floored at n_probes,
-    capped at n_cells (need NULL → all cells)."""
+    count (keep-joined, self excluded) reaches the widening TARGET,
+    floored at n_probes, capped at n_cells (need NULL → all cells).
+    The target mirrors SS._widen_target: default (widen_to=None) is
+    the r14 recall-first over-provision FILTERED_WIDEN_MULT × k; the
+    final ranking still keeps k rows."""
+    target = SS._widen_target(k, widen_to)
     return f"""
     cent_{tag} AS (SELECT vec_id AS cid, ne AS ce FROM e
                    WHERE vec_id < {n_cells}),
@@ -1834,7 +1839,7 @@ def _ivf_filtered_oracle_branch(
                     LEFT JOIN qself_{tag} s ON r.query_id = s.query_id),
     cum_{tag} AS (SELECT *, SUM(m) OVER (PARTITION BY query_id
                           ORDER BY pr) AS cum FROM stats_{tag}),
-    lim_{tag} AS (SELECT *, MIN(CASE WHEN cum >= {k} THEN pr END)
+    lim_{tag} AS (SELECT *, MIN(CASE WHEN cum >= {target} THEN pr END)
                           OVER (PARTITION BY query_id) AS need
                   FROM cum_{tag}),
     qprobe_{tag} AS (SELECT query_id, qemb, cid AS cell FROM lim_{tag}
@@ -1885,9 +1890,13 @@ _FILTERED_RARE_WHERE = "lang = 'de' AND doc_id % 3 = 0"
     "ADAPTIVE (VERDICT r12 Next #2, closing the classic filtered-IVF "
     "under-fill): per query it takes the smallest similarity-rank "
     "prefix of cells whose cumulative MATCHING-candidate count "
-    "reaches k — floored at n_probes, capped at n_cells — sized from "
-    "one column-pruned per-cell match-count aggregate (metadata, "
-    "never vectors). TWO predicate branches in one result, tagged by "
+    "reaches the widening target — floored at n_probes, capped at "
+    "n_cells — sized from one column-pruned per-cell match-count "
+    "aggregate (metadata, never vectors). Since r14 (VERDICT r13 "
+    "Next #3) the DEFAULT target over-provisions to 3xk "
+    "(SS.FILTERED_WIDEN_MULT), the measured recall lever (0.55 -> "
+    "0.975 at 0.8% selectivity); min-fill is the opt-out "
+    "(widen_to=k). TWO predicate branches in one result, tagged by "
     "`pred`: 'en' (~40% — widening floors at the unfiltered plan) "
     "and a ~4% rare class (widening ENGAGES at driver scale, so the "
     "escalation math itself is value-pinned). Deterministic, hence "

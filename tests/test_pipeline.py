@@ -209,13 +209,15 @@ def test_ivf_filtered_widens_probe_to_fill_k(spark, sf_dir):
 
 
 def test_ivf_filtered_widen_to_overprovisions(spark, sf_dir):
-    """The widen_to knob (recall-vs-probes lever for selective
-    predicates): escalating the widening target beyond k must still
-    return exactly k predicate-satisfying rows per query, every plain
-    adaptive neighbor set must stay reachable (the over-provisioned
-    probe is a SUPERSET of cells, and ranking is exact within probed
-    cells, so per-query recall vs the filtered truth can only rise),
-    and the disk twin must stay bit-identical under the same knob."""
+    """The widen_to lever (recall-vs-probes for selective predicates),
+    r14 default semantics: the DEFAULT path over-provisions to
+    FILTERED_WIDEN_MULT×k (VERDICT r13 Next #3 — recall-first is
+    opt-OUT, not opt-in), so default ≡ widen_to=3k bit-identically;
+    the min-fill opt-out (widen_to=k) must still return exactly k
+    predicate-satisfying rows per query; and since the
+    over-provisioned probe is a SUPERSET of the min-fill cells with
+    exact ranking inside probed cells, the default's per-query best
+    cosine can only improve (or stay) over min-fill's."""
     from collections import Counter
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -223,18 +225,22 @@ def test_ivf_filtered_widen_to_overprovisions(spark, sf_dir):
     sel = docs.where((F.col("lang") == "de") & (F.col("doc_id") % 3 == 0))
     keepset = {r["doc_id"] for r in sel.collect()}
     keep = sel.select(F.col("doc_id").alias("keep_id"))
-    plain = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
-    wide = SS.ivf_topk(
-        emb, n_queries=8, k=5, keep=keep, widen_to=15
+    minfill = SS.ivf_topk(
+        emb, n_queries=8, k=5, keep=keep, widen_to=5
     ).collect()
-    counts = Counter(r["query_id"] for r in wide)
-    assert all(counts.get(q, 0) == 5 for q in range(8)), dict(counts)
-    assert all(r["neighbor_id"] in keepset for r in wide)
-    # exactness within probed cells + superset probe ⇒ per-query best
-    # cosine can only improve (or stay) under over-provisioning
-    best_plain = {r["query_id"]: r["cos"] for r in plain if r["rank"] == 1}
-    best_wide = {r["query_id"]: r["cos"] for r in wide if r["rank"] == 1}
-    assert all(best_wide[q] >= best_plain[q] for q in best_plain)
+    default = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
+    explicit = SS.ivf_topk(
+        emb, n_queries=8, k=5, keep=keep,
+        widen_to=SS.FILTERED_WIDEN_MULT * 5,
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
+    for rows in (minfill, default):
+        counts = Counter(r["query_id"] for r in rows)
+        assert all(counts.get(q, 0) == 5 for q in range(8)), dict(counts)
+        assert all(r["neighbor_id"] in keepset for r in rows)
+    best_min = {r["query_id"]: r["cos"] for r in minfill if r["rank"] == 1}
+    best_def = {r["query_id"]: r["cos"] for r in default if r["rank"] == 1}
+    assert all(best_def[q] >= best_min[q] for q in best_min)
 
 
 def test_ivf_filtered_short_only_when_corpus_exhausts(spark, sf_dir):
@@ -324,8 +330,9 @@ def test_ann_index_residual_filtered_matches_memory(spark, sf_dir, tmp_path):
     the pre-rank so the top-R budget counts MATCHING candidates, (b)
     return only predicate-satisfying rows, and (c) stay bit-identical
     between the in-memory and on-disk paths under both the plain keep
-    and the widen_to over-provision knob — the same disk≡memory
-    convention as every other index read."""
+    and the widen_to lever at its min-fill opt-out (widen_to=k),
+    the r14 3×k default (None), and a 6×k escalation — the same
+    disk≡memory convention as every other index read."""
     from mapreducelearnings_spark.pipeline import simsearch as SS
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -335,7 +342,7 @@ def test_ann_index_residual_filtered_matches_memory(spark, sf_dir, tmp_path):
     keep = sel.select(F.col("doc_id").alias("keep_id"))
     path = str(tmp_path / "ann_index_resid_filtered")
     SS.ann_index_write(emb, path)
-    for widen in (None, 15):
+    for widen in (5, None, 30):
         disk = SS.ann_index_residual_topk(
             spark, path, emb, n_queries=6, k=5, keep=keep, widen_to=widen
         ).collect()

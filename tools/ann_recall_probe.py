@@ -160,11 +160,16 @@ def main() -> int:
                 )
 
             t0 = time.time()
+            # default path = the r14 3×k over-provision (recall-first)
             adaptive = SS.ivf_topk(emb, n_queries=8, k=5, keep=keep).collect()
             sec = round(time.time() - t0, 1)
-            # the over-provision knob: escalate until 3×k / 6×k matches
-            # are reachable — the recall-vs-probes lever for selective
-            # predicates (min-fill guarantees k rows, not recall)
+            # the lever's other settings: min-fill opt-out (widen_to=k
+            # guarantees k rows, not recall — the pre-r14 default) and
+            # the 3×k / 6×k escalations (3×k ≡ the new default; kept so
+            # the curve stays comparable across rounds)
+            mf = SS.ivf_topk(
+                emb, n_queries=8, k=5, keep=keep, widen_to=5
+            ).collect()
             w3 = SS.ivf_topk(
                 emb, n_queries=8, k=5, keep=keep, widen_to=15
             ).collect()
@@ -190,6 +195,7 @@ def main() -> int:
             sweep[f"mod{m}"] = {
                 "selectivity": round(len(keepset) / n, 4),
                 "recall_adaptive": frecall(adaptive),
+                "recall_minfill": frecall(mf),
                 "recall_widen3k": frecall(w3),
                 "recall_widen6k": frecall(w6),
                 "recall_resid_widen3k": frecall(resid_w3),
