@@ -169,11 +169,15 @@ HEADLINE = [
     # r12: filtered vector search (metadata predicate during the probe)
     "ann_ivf_filtered_topk",
     "ann_ivf_trained_topk",
-    "ann_ivf_hamming_topk",
+    # r14: ann_ivf_hamming_topk retired (its probe→compressed-pre-rank
+    # →rerank composition keeps a slot via ann_ivf_pq64_residual_topk;
+    # recall still measured below) — its headline slot goes to the
+    # directional-overlap sketch
     # r13: ann_ivf_pq_topk retired (superseded by the residual rung;
     # recall still measured below) — its headline slot goes to the
     # corpus-overlap sketch
     "distinct_kmv_jaccard",
+    "distinct_kmv_containment",
     "similarity_topk_q8",
     # r12: the streaming KMV drain promoted to a registry row by the
     # retirements above (VERDICT r11 Next #8)

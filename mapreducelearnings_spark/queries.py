@@ -2178,7 +2178,7 @@ def _ivf_hamming_oracle(
     """
 
 
-@register(
+@retire(
     "ann_ivf_hamming_topk",
     _ivf_hamming_oracle(),
     doc="IVF × compressed-scan COMPOSITION — the production read path "
@@ -2187,7 +2187,18 @@ def _ivf_hamming_oracle(
     "survivors on 16-byte sign signatures, exactly re-score only the "
     "per-query top 80. Same rerank budget as the flat Hamming scan but "
     "concentrated on plausible cells — higher recall at equal R, a "
-    "fraction of the bytes read.",
+    "fraction of the bytes read. RETIRED from the driver rotation "
+    "(r14, funding distinct_kmv_containment per VERDICT r13 Next #4): "
+    "its IVF-probe → compressed-pre-rank → exact-rerank shape is the "
+    "same composition the in-REGISTRY ann_ivf_pq64_residual_topk "
+    "holds a slot for — the measured best compressed rung (8-byte "
+    "residual codes vs this rung's 16-byte sign signatures, equal "
+    "recall@5 1.0 at sf0.1) — and its r13 driver row is green. The "
+    "sign-signature capability itself stays in-registry via "
+    "simhash_fingerprints, the rung stays measured in bench.py's "
+    "recall block (ann_ivf_hamming_topk / ann_hamming_topk rows) and "
+    "the recall probe's `hamming` path, and its oracle stays "
+    "value-checked every pytest run via test_oracle_parity.",
 )
 def q_ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.ivf_hamming_topk(load_table(spark, sf_dir, "embeddings"))
@@ -3491,6 +3502,130 @@ def q_distinct_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = ev.select("event_type").distinct()
     sb = groups.crossJoin(ref)
     return KMV.kmv_jaccard(sa, sb, "event_type")
+
+
+@register(
+    "distinct_kmv_containment",
+    # SQL mirror of KMV.kmv_containment (functions/sketch.py): the
+    # jaccard oracle's union-sample CTEs re-derive est_intersection,
+    # each side's cardinality comes from its OWN sketch (the shared
+    # KMV estimator), and both directional ratios are clamped to 1.0
+    # BEFORE the 4-dp floor quantization (ADVICE r13) — every factor
+    # an IEEE expression over identical operands in both engines.
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS u
+      FROM events WHERE user_id IS NOT NULL),
+    sa AS (SELECT event_type, u FROM
+           (SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u)
+                     AS rn FROM h)
+           WHERE rn <= {KMV.KMV_K}),
+    refh AS (SELECT u FROM
+             (SELECT u, row_number() OVER (ORDER BY u) AS rn
+              FROM h WHERE event_type = 'purchase')
+             WHERE rn <= {KMV.KMV_K}),
+    sb AS (SELECT g.event_type, refh.u
+           FROM (SELECT DISTINCT event_type FROM events) g
+           CROSS JOIN refh),
+    un AS (SELECT event_type, u FROM
+           (SELECT event_type, u,
+                   row_number() OVER (PARTITION BY event_type ORDER BY u)
+                     AS rn
+            FROM (SELECT event_type, u FROM sa
+                  UNION SELECT event_type, u FROM sb))
+           WHERE rn <= {KMV.KMV_K}),
+    m AS (SELECT un.event_type,
+                 COUNT(*) AS n_rows,
+                 MAX(un.u) AS umax,
+                 SUM(CASE WHEN sa.u IS NOT NULL AND sb.u IS NOT NULL
+                          THEN 1 ELSE 0 END) AS n_both
+          FROM un
+          LEFT JOIN sa ON un.event_type = sa.event_type AND un.u = sa.u
+          LEFT JOIN sb ON un.event_type = sb.event_type AND un.u = sb.u
+          GROUP BY un.event_type),
+    jq AS (SELECT event_type,
+                  FLOOR((CAST(n_both AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                        * 10000 + 0.5) / 10000 AS jaccard,
+                  CASE WHEN n_rows < {KMV.KMV_K}
+                       THEN CAST(n_rows AS DOUBLE)
+                       ELSE FLOOR(({float(KMV.KMV_K - 1)}
+                                   * {float(KMV.KMV_HASH_BASE)}
+                                   / CAST(umax + 1 AS DOUBLE)) * 10000 + 0.5)
+                            / 10000
+                  END AS est_union
+           FROM m),
+    ji AS (SELECT event_type,
+                  FLOOR(jaccard * est_union * 10000 + 0.5) / 10000
+                    AS est_intersection
+           FROM jq),
+    ea AS (SELECT event_type,
+                  CASE WHEN COUNT(*) < {KMV.KMV_K}
+                       THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE FLOOR(({float(KMV.KMV_K - 1)}
+                                   * {float(KMV.KMV_HASH_BASE)}
+                                   / CAST(MAX(u) + 1 AS DOUBLE)) * 10000 + 0.5)
+                            / 10000
+                  END AS est_a
+           FROM sa GROUP BY event_type),
+    eb AS (SELECT event_type,
+                  CASE WHEN COUNT(*) < {KMV.KMV_K}
+                       THEN CAST(COUNT(*) AS DOUBLE)
+                       ELSE FLOOR(({float(KMV.KMV_K - 1)}
+                                   * {float(KMV.KMV_HASH_BASE)}
+                                   / CAST(MAX(u) + 1 AS DOUBLE)) * 10000 + 0.5)
+                            / 10000
+                  END AS est_b
+           FROM sb GROUP BY event_type)
+    SELECT ji.event_type, ea.est_a, eb.est_b, ji.est_intersection,
+           FLOOR(LEAST(1.0, CASE WHEN ea.est_a > 0
+                                 THEN ji.est_intersection / ea.est_a
+                                 ELSE 0.0 END) * 10000 + 0.5) / 10000
+             AS containment_a_in_b,
+           FLOOR(LEAST(1.0, CASE WHEN eb.est_b > 0
+                                 THEN ji.est_intersection / eb.est_b
+                                 ELSE 0.0 END) * 10000 + 0.5) / 10000
+             AS containment_b_in_a
+    FROM ji
+    JOIN ea ON ji.event_type = ea.event_type
+    JOIN eb ON ji.event_type = eb.event_type
+    """,
+    doc="DIRECTIONAL overlap from two KMV sketches "
+    "(KMV.kmv_containment, r13; promoted to the driver rotation r14, "
+    "VERDICT r13 Next #4; slot funded by retiring "
+    "ann_ivf_hamming_topk) — the question decontamination actually "
+    "asks: C(A in B) = |A ∩ B| / |A|, 'what fraction of the "
+    "BENCHMARK is inside my training set?', which Jaccard blurs "
+    "whenever the corpora differ in size (a 100-doc benchmark fully "
+    "contained in a 1B-doc corpus has J ≈ 0 but C = 1). Same sketch "
+    "algebra as distinct_kmv_jaccard — intersection ≈ J × est|A∪B| "
+    "over the union sample, each side's cardinality from its OWN "
+    "sketch — so the whole row derives from two k-row frames, EXACT "
+    "whenever the union sketch never fills, and both directional "
+    "ratios are clamped to [0, 1] before quantization (ADVICE r13: "
+    "independent estimator error can push the raw ratio above 1). "
+    "Framing mirrors the jaccard row: per-event-type audience vs the "
+    "'purchase' cohort — containment_b_in_a answers 'what fraction "
+    "of purchasers also fired this event type'. md5-deterministic "
+    "end-to-end, so the directional surface sits in the driver's "
+    "hash-compared gate; never co-shuffles corpora (k-bounded frames "
+    "only — the sketch build is the one corpus-sized pass, amortized "
+    "across every overlap question).",
+)
+def q_distinct_kmv_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sa = KMV.kmv_sketch(ev, "event_type", "user_id")
+    ref = KMV.kmv_sketch(
+        ev.where(F.col("event_type") == "purchase").withColumn(
+            "event_type", F.lit("_ref")
+        ),
+        "event_type",
+        "user_id",
+    ).drop("event_type")
+    sb = ev.select("event_type").distinct().crossJoin(ref)
+    return KMV.kmv_containment(sa, sb, "event_type")
 
 
 @register(
@@ -7395,51 +7530,43 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Forecast: r14 = those 5 + the 45 r11-greens (dedup_stream_lsh
 # excepted — re-rowed this round). r15 = the 50 r12-greens.
 # ---------------------------------------------------------------------------
+# Round-14 window (THIS round): VERDICT r13 Next #1 executed — the
+# five age-4 r10-greens LEAD — plus the standing rules:
+#   - rule 1: ann_ivf_filtered_topk's code AND oracle changed this
+#     round (the widening target now defaults to the 3×k recall
+#     over-provision, VERDICT r13 Next #3), so it re-rows despite its
+#     r13 green. The other keep=-path functions gained the same
+#     default through the shared _widen_target helper, but every
+#     other registry entry calls them with keep=None — plan-identical
+#     (the r12/r13 default-equivalent-plumbing precedent) — and this
+#     round's full sf0.01 check_oracles run re-verified them on the
+#     new code; they stay on schedule.
+#   - rule 2: distinct_kmv_containment, registered this round (the
+#     directional-overlap promotion, VERDICT r13 Next #4; slot funded
+#     by retiring ann_ivf_hamming_topk — rationale on its @retire —
+#     whose r13 driver row is green and whose composition shape the
+#     in-window ann_ivf_pq64_residual_topk sibling... is covered by
+#     its r13 row; the hamming oracle stays pytest-checked).
+#   - rule 3: 43 of the 45 r11-greens.
+# 5 + 1 + 1 + 43 = 50, a full window. The 2 r11-greens that don't fit
+# (each with sibling coverage: sentence_split_udtf / its r13-green
+# codegen twin sentence_stats plus the pytest UDTF twin-equality pin;
+# asof_latest_order_cogroup / the r12-green asof_latest_order sharing
+# the as-of semantics, cogroup surface pytest-pinned) age to 4 and
+# LEAD the r15 window.
+# Forecast: r15 = those 2 + the 48 remaining r12-greens; r16 = the
+# last 2 r12-greens + the 48 r13-greens.
+# ---------------------------------------------------------------------------
 _CORRECTNESS_WINDOW = [
-    # rule 3 — the seven r9-greens at the staleness bound (VERDICT r12
-    # Next #1 names exactly these):
-    "pagerank_idfilter", "sssp_distances", "sssp_paths", "triangle_count",
-    "kmeans_centroids", "dedup_exact", "simhash_fingerprints",
-    # rule 2 — never driver-checked: the two r12 adds and the r13 add
-    # (build->append->compact->query maintenance chain):
-    "distinct_kmv_stream", "ann_ivf_filtered_topk", "ann_index_compact_topk",
-    # rule 1 — drain-helper code changed this round (ADVICE r12):
-    "dedup_stream_lsh",
-    # rule 3 — 39 of the 44 remaining r10-greens (age 3 entering r13);
-    # ann_ivf_topk carries this round's shared-probe refactor (rule 1
-    # coincides with its scheduled slot):
-    "incident_event_counts", "degree_distribution", "value_histogram",
-    "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
-    "quality_filter", "ann_ivf_hamming_topk", "explode_variants",
-    "window_function_gauntlet", "events_rolling_hour",
-    "similarity_topk_q8", "dedup_ngram_jaccard", "token_counts_bpe",
-    "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
-    "distinct_users_per_type", "sliding_windows", "top_events_per_user",
-    "pagerank_df_quirk", "pagerank_topk", "kmeans_followers",
-    "pivot_event_counts", "unpivot_event_counts", "top_supplier",
-    "salted_join", "decontamination", "multimodal_meta", "sentence_stats",
-    "text_normalize", "inverted_index", "bm25_topk", "max_filter",
-    "dedup_embedding_nearest", "bpe_merges_batched",
-    "ann_index_append_topk", "ann_ivf_pq64_residual_topk",
-    # rule 2 — registered late in r13 (corpus-overlap estimation; slot
-    # and window place funded by retiring ann_ivf_pq_topk, whose SQL
-    # stays exercised as the chain entries' oracle):
-    "distinct_kmv_jaccard",
-]
-
-# Outside the driver's 50-row window this round: every entry below has
-# a green driver row from r10-r12 (none older after this window runs);
-# all stay oracle-checked locally at sf0.001 by tests/test_oracle_parity
-# and at sf0.01 by tools/check_oracles.py every round.
-_TAIL = [
-    # r10-green spilled by the r13 rule-1/rule-2 pulls (age 4 at their
-    # r14 row — one round past the nominal bound, same documented cost
-    # r12 paid for the r9s; in-window siblings named in the window
-    # comment above keep each capability covered this round):
+    # rule 3 — the five age-4 r10-greens (VERDICT r13 Next #1 names
+    # exactly these; judge-exact-verified in the r13 session):
     "triangle_count_broadcast", "salted_follower_count", "distinct_pairs",
     "right_outer_join", "explode_tokens",
-    # r11-green (age 2 entering r13): the r14 cohort, less
-    # dedup_stream_lsh (pulled forward by rule 1 above).
+    # rule 1 — widening-default + oracle change this round:
+    "ann_ivf_filtered_topk",
+    # rule 2 — registered this round (directional KMV overlap):
+    "distinct_kmv_containment",
+    # rule 3 — 43 of the 45 r11-greens (age 3 entering r14):
     "bpe_merges", "set_ops", "bpe_encode_tokens", "epoch_shuffle",
     "hash_split", "anti_join",
     "customer_running_totals", "lang_id", "udf_discounted_price",
@@ -7452,11 +7579,23 @@ _TAIL = [
     "funnel_conversion", "best_revenue_supplier", "stream_enriched_totals",
     "events_props_variant",
     "ann_ivf_trained_topk", "sequence_packing",
-    "stratified_sample", "hof_gauntlet", "sentence_split_udtf",
+    "stratified_sample", "hof_gauntlet",
     "semdedup_keep", "source_quota_sample", "zorder_values",
-    "asof_latest_order_cogroup", "bigram_counts", "nation_profit",
+    "bigram_counts", "nation_profit",
     "parts_supplier_counts", "excess_shippers", "repeated_ngrams",
-    # r12-green (age 1 entering r13): the r15 cohort — the full r12
+]
+
+# Outside the driver's 50-row window this round: every entry below has
+# a green driver row from r11-r13 (none older after this window runs);
+# all stay oracle-checked locally at sf0.001 by tests/test_oracle_parity
+# and at sf0.01 by tools/check_oracles.py every round.
+_TAIL = [
+    # r11-green spilled by the r14 rule-1/rule-2 pulls (age 4 at their
+    # r15 row — one round past the nominal bound, the same documented
+    # cost r12/r13 paid; sibling coverage named in the window comment
+    # above):
+    "sentence_split_udtf", "asof_latest_order_cogroup",
+    # r12-green (age 2 entering r14): the r15 cohort — the full r12
     # window in its driver order.
     "cooccurrence_pmi", "dedup_keep_best", "shipmode_priority",
     "bigram_lm_scores", "batch_sessionize", "scd2_event_intervals",
@@ -7474,6 +7613,26 @@ _TAIL = [
     "dedup_clusters_incremental", "distinct_kmv_sketch", "dedup_clusters",
     "dedup_clusters_star", "corpus_curation",
     "distinct_kmv_incremental", "ann_index_sla_topk",
+    # r13-green (age 1 entering r14): the r16 cohort — the r13 window
+    # in its driver order, less ann_ivf_filtered_topk (re-rowed this
+    # round by rule 1) and ann_ivf_hamming_topk (retired this round).
+    "pagerank_idfilter", "sssp_distances", "sssp_paths", "triangle_count",
+    "kmeans_centroids", "dedup_exact", "simhash_fingerprints",
+    "distinct_kmv_stream", "ann_index_compact_topk", "dedup_stream_lsh",
+    "incident_event_counts", "degree_distribution", "value_histogram",
+    "time_weighted_avg", "triangle_count_ordered", "ann_ivf_topk",
+    "quality_filter", "explode_variants",
+    "window_function_gauntlet", "events_rolling_hour",
+    "similarity_topk_q8", "dedup_ngram_jaccard", "token_counts_bpe",
+    "token_doc_frequency", "sql_revenue_by_nation", "shipping_priority",
+    "distinct_users_per_type", "sliding_windows", "top_events_per_user",
+    "pagerank_df_quirk", "pagerank_topk", "kmeans_followers",
+    "pivot_event_counts", "unpivot_event_counts", "top_supplier",
+    "salted_join", "decontamination", "multimodal_meta", "sentence_stats",
+    "text_normalize", "inverted_index", "bm25_topk", "max_filter",
+    "dedup_embedding_nearest", "bpe_merges_batched",
+    "ann_index_append_topk", "ann_ivf_pq64_residual_topk",
+    "distinct_kmv_jaccard",
 ]
 
 

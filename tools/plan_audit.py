@@ -60,6 +60,10 @@ BNLJ_BOUNDED_ALLOWLIST = frozenset(
         # bounded cross join; every other join in the plan is an equi
         # join over k-bounded sketch frames
         "distinct_kmv_jaccard",
+        # r14: the directional-overlap sibling — identical bounded
+        # cross join (<=64-row reference sketch x <=5 group values);
+        # the per-side estimates join back by equi keys
+        "distinct_kmv_containment",
         "ann_pq_adc_topk", "ann_pq_trained_topk", "ann_ivf_hamming_topk",
         "ann_ivf_pq_topk",
         # round-10: same k-row broadcast probe/centroid idiom
