@@ -1929,7 +1929,7 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
         _CORPUS_SIZE_CACHE.clear()
 
 
-def ann_index_compact(spark, path: str) -> None:
+def ann_index_compact(spark, path: str, target_bytes: int | None = None) -> None:
     """Compact the cell-partitioned on-disk index in place (VERDICT
     r11 Next #6): daily :func:`ann_index_append` batches accrete one
     small parquet file per cell per append, and at 100 TB the file
@@ -1948,10 +1948,23 @@ def ann_index_compact(spark, path: str) -> None:
     which also asserts the file-count reduction and that partition
     pruning still prunes post-compaction. Cost model: one read + one
     write of the index (∝ index), scheduled in the maintenance window
-    — the same single-writer caveat as compact_parquet."""
+    — the same single-writer caveat as compact_parquet.
+
+    ``target_bytes`` (r14, VERDICT r13 Next #7) swaps the
+    one-file-per-cell rule for a size target: a hot cell that outgrew
+    one writer/one read task is rewritten as ~⌈cell_bytes /
+    target_bytes⌉ files by that many parallel writers (content-salted
+    shuffle + maxRecordsPerFile — see compact_parquet), keeping both
+    the compaction pass and subsequent reads parallel ∝ cell size
+    while small cells still collapse to one file. Reads stay
+    bit-identical (pytest-pinned:
+    tests/test_pipeline.py::test_ann_index_compact_target_bytes)."""
     from ..sources.io import compact_parquet
 
-    compact_parquet(spark, path, target_files=1, partition_by=("cell",))
+    compact_parquet(
+        spark, path, target_files=1, partition_by=("cell",),
+        target_bytes=target_bytes,
+    )
     # The rewrite does not change the count, but semanticHash keying is
     # path-plan based and cheap to refresh defensively alongside.
     try:

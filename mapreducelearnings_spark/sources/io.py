@@ -179,6 +179,7 @@ def compact_parquet(
     path: str,
     target_files: int,
     partition_by: tuple[str, ...] = (),
+    target_bytes: int | None = None,
 ) -> None:
     """Small-files compaction — the operational fix for streaming/
     incremental sinks that accrete thousands of tiny files (each file
@@ -200,7 +201,27 @@ def compact_parquet(
     its partition pruning, so compaction must never flatten them):
     rows are shuffled onto their partition values so each partition
     directory comes out as ONE file (``target_files`` then bounds the
-    total only indirectly and is ignored per-partition)."""
+    total only indirectly and is ignored per-partition).
+
+    ``target_bytes`` (r14, VERDICT r13 Next #7) replaces the
+    one-file-per-partition rule with a SIZE target: each partition
+    directory is rewritten as ~⌈partition_bytes / target_bytes⌉ files.
+    At real scale one-file-per-cell fails twice on a hot cell — one
+    write TASK rewrites the whole cell (stragglers) and one read task
+    scans it back (no intra-cell parallelism). Two standard Spark
+    mechanisms compose to fix both: a per-partition SALT sized from
+    the partition's on-disk row share gives ⌈bytes/target⌉ parallel
+    writers per hot cell, and ``maxRecordsPerFile`` (rows-per-file
+    derived from the dataset's measured bytes/row) is the hard
+    per-file size bound even where salt groups hash-collide into one
+    task. The salt is a deterministic xxhash64 of the non-partition
+    columns — content-derived, no RNG — and never lands in the data
+    (dropped after the shuffle); reads stay bit-identical to
+    pre-compaction (pytest-pinned), only the file layout changes.
+    Unpartitioned datasets get the same treatment with a global file
+    count. ``target_bytes=None`` keeps the r13 behavior exactly."""
+    import math
+
     from pyspark.sql import functions as F
 
     jvm = spark._jvm
@@ -212,14 +233,69 @@ def compact_parquet(
     old_p = jvm.org.apache.hadoop.fs.Path(old_path)
     fs.delete(new_p, True)
     df = spark.read.parquet(path)
+    records_per_file = None
+    if target_bytes is not None:
+        # measured bytes/row from the CURRENT layout: total file bytes
+        # (one driver-side FS listing — metadata, bounded by file
+        # count) over the footer-served row count
+        total_bytes = 0
+        stack = [jpath]
+        while stack:
+            for st in fs.listStatus(stack.pop()):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                else:
+                    total_bytes += st.getLen()
+        total_rows = df.count()
+        if total_rows > 0 and total_bytes > 0:
+            records_per_file = max(
+                1, int(target_bytes * total_rows // total_bytes)
+            )
     if partition_by:
-        (
-            df.repartition(*[F.col(c) for c in partition_by])
-            .write.partitionBy(*partition_by)
-            .parquet(new_path)
-        )
+        writer_df = df.repartition(*[F.col(c) for c in partition_by])
+        if records_per_file is not None:
+            nonpart = [c for c in df.columns if c not in partition_by]
+            nout = (
+                df.groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("_rows"))
+                .withColumn(
+                    "_nout",
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.col("_rows") / F.lit(records_per_file)),
+                    ).cast("int"),
+                )
+                .drop("_rows")
+            )
+            writer_df = (
+                df.join(F.broadcast(nout), list(partition_by))
+                .withColumn(
+                    "_salt", F.pmod(F.xxhash64(*nonpart), F.col("_nout"))
+                )
+                .drop("_nout")
+                .repartition(
+                    *[F.col(c) for c in (*partition_by, "_salt")]
+                )
+                .drop("_salt")
+            )
+        writer = writer_df.write
+        if records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", records_per_file)
+        writer.partitionBy(*partition_by).parquet(new_path)
     else:
-        df.coalesce(target_files).write.parquet(new_path)
+        if records_per_file is not None:
+            total_rows = df.count()
+            n_files = max(1, math.ceil(total_rows / records_per_file))
+            (
+                df.repartition(n_files)
+                .write.option("maxRecordsPerFile", records_per_file)
+                .parquet(new_path)
+            )
+        else:
+            df.coalesce(target_files).write.parquet(new_path)
     fs.delete(old_p, True)
     fs.rename(jpath, old_p)
     fs.rename(new_p, jpath)

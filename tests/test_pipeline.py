@@ -1222,6 +1222,78 @@ def test_ann_index_compact_bit_identical(spark, sf_dir, tmp_path):
     assert reads() == before, "compaction changed a read result"
 
 
+def test_ann_index_compact_target_bytes(spark, sf_dir, tmp_path):
+    """Size-targeted compaction (r14, VERDICT r13 Next #7): with
+    ``target_bytes`` the maintenance pass rewrites each cell as
+    ~⌈cell_bytes/target⌉ files instead of exactly one — the scale fix
+    for a hot cell outgrowing one writer/one read task. Pins: (a)
+    every read path stays bit-identical pre/post (the same contract as
+    plain compaction); (b) the size targeting ENGAGES — at a target
+    below the hot cell's size, some cell holds ≥2 files; (c) the
+    per-file row bound holds — no output file exceeds the
+    rows-per-file derived from the dataset's measured bytes/row (the
+    maxRecordsPerFile backstop); (d) a target above every cell's size
+    degenerates to the one-file-per-cell rule."""
+    import glob as _glob
+    import os as _os
+
+    from mapreducelearnings_spark.pipeline import simsearch as SS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = SS.corpus_size(emb)
+    c1 = max(SS.PQ_K64 + 44, n // 2)
+    path = str(tmp_path / "ann_index_tbytes")
+    SS.ann_index_write(emb.where(F.col("vec_id") < c1), path)
+    SS.ann_index_append(spark, path, emb.where(F.col("vec_id") >= c1))
+
+    def cell_files() -> dict[str, list[str]]:
+        return {
+            d.rsplit("/", 1)[-1]: _glob.glob(f"{d}/*.parquet")
+            for d in _glob.glob(f"{path}/cell=*")
+        }
+
+    def reads() -> list[set]:
+        return [
+            {tuple(r) for r in df.collect()}
+            for df in (
+                SS.ann_index_topk(spark, path, emb, n_queries=4, k=5),
+                SS.ann_index_residual_topk(spark, path, emb, n_queries=4, k=5),
+            )
+        ]
+
+    files = cell_files()
+    total_bytes = sum(
+        _os.path.getsize(f) for fl in files.values() for f in fl
+    )
+    total_rows = spark.read.parquet(path).count()
+    before = reads()
+    assert all(before)
+
+    # (b)+(c): target at ~1/4 of the mean cell size forces multi-file
+    # cells; the row bound mirrors compact_parquet's derivation
+    target = max(1, total_bytes // (4 * max(1, len(files))))
+    SS.ann_index_compact(spark, path, target_bytes=target)
+    records_per_file = max(1, int(target * total_rows // total_bytes))
+    after = cell_files()
+    assert set(after) == set(files), "cells must survive"
+    assert max(len(fl) for fl in after.values()) >= 2, {
+        k: len(v) for k, v in after.items()
+    }
+    for fl in after.values():
+        for f in fl:
+            assert spark.read.parquet(f).count() <= records_per_file, f
+    assert reads() == before, "size-targeted compaction changed a read"
+
+    # (d): a huge target collapses back to one file per cell, reads
+    # still bit-identical — the r13 contract is the degenerate case
+    SS.ann_index_compact(spark, path, target_bytes=total_bytes * 10)
+    onefile = cell_files()
+    assert all(len(fl) == 1 for fl in onefile.values()), {
+        k: len(v) for k, v in onefile.items()
+    }
+    assert reads() == before
+
+
 def test_ann_index_query_prunes_partitions(spark, sf_dir, tmp_path):
     """The probe-cell filter must reach the scan as PARTITION pruning:
     the executed plan's file index reads only the probed cell

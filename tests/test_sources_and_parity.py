@@ -438,6 +438,55 @@ def test_compact_parquet_reduces_files_and_preserves_data(spark, sf_dir, tmp_pat
     )
 
 
+def test_compact_parquet_target_bytes_unpartitioned(spark, sf_dir, tmp_path):
+    """target_bytes on a FLAT dataset (r14): the rewrite sizes the
+    file count from measured bytes/row — a small target yields several
+    bounded files (rows per file ≤ the derived maxRecordsPerFile), a
+    huge one collapses to a single file — and the row multiset is
+    preserved either way."""
+    import os
+
+    from mapreducelearnings_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "tbytes_flat")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src.repartition(16).write.parquet(path)
+    total_rows = src.count()
+    total_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    checksum = src.agg(
+        F.sum("event_id").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+
+    target = max(1, total_bytes // 5)
+    compact_parquet(spark, path, target_files=1, target_bytes=target)
+    records_per_file = max(1, int(target * total_rows // total_bytes))
+    names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(names) >= 2, names
+    for f in names:
+        assert (
+            spark.read.parquet(os.path.join(path, f)).count()
+            <= records_per_file
+        ), f
+    got = spark.read.parquet(path).agg(
+        F.sum("event_id").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    assert (got["s"], got["c"]) == (checksum["s"], checksum["c"])
+
+    compact_parquet(
+        spark, path, target_files=1, target_bytes=total_bytes * 10
+    )
+    names = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(names) == 1, names
+    got = spark.read.parquet(path).agg(
+        F.sum("event_id").alias("s"), F.count(F.lit(1)).alias("c")
+    ).first()
+    assert (got["s"], got["c"]) == (checksum["s"], checksum["c"])
+
+
 def test_doc_provenance_metadata_is_real_path(spark, sf_dir):
     """doc_provenance's oracle pins the basename (the view can't expose
     DuckDB's filename= column), so the REAL evidence that Spark's
