@@ -735,6 +735,203 @@ def run_kmv_distinct_stream_to_memory(
         q.awaitTermination()
 
 
+def kmv_overlap_stream(
+    events: DataFrame, ref_sketch: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Streaming corpus-overlap monitor (r14, VERDICT r13 Next #8):
+    per-group RUNNING Jaccard + directional containment of the stream
+    against a STATIC reference sketch — the decontamination question
+    asked continuously ("how much of the benchmark has today's crawl
+    covered so far?"), composing the r13 overlap algebra
+    (`functions/sketch.py::kmv_jaccard` / ``kmv_containment``) with
+    the streaming sketch state of :func:`kmv_distinct_stream`.
+
+    ``ref_sketch`` is a k-row sketch frame (column ``u``, e.g. from
+    ``kmv_sketch`` on the reference corpus, group column dropped;
+    a carried ``k`` column is validated against ``k``). It is
+    COLLECTED once at plan-build time — ≤ k longs, the same bounded
+    control read the batch overlap ships between jobs — and rides to
+    every state task as plain Python constants; the stream side's
+    state stays the k smallest distinct md5-hashes per group. Each
+    microbatch re-derives the overlap row from the merged union
+    sample exactly as the batch algebra does: union = k smallest of
+    (state ∪ ref), jaccard = |both|/|union sample| (4-dp floor),
+    est_union via the shared estimator, est_intersection =
+    J × est_union, per-side estimates from each sketch alone, both
+    containment directions clamped to [0, 1] before quantization
+    (ADVICE r13) — every step float64-for-float64 the batch
+    expressions, so after draining a bounded source the final state's
+    row equals batch ``kmv_jaccard`` + ``kmv_containment`` on the
+    same frames EXACTLY (pytest-pinned:
+    tests/test_streaming_stateful.py::test_kmv_overlap_stream_matches_batch).
+
+    Scale shape: state is ≤ k longs per group (the sketch bound —
+    overlap adds ZERO state beyond the distinct-count stream's), the
+    reference is ≤ k longs broadcast by closure, and each microbatch's
+    overlap math is O(k log k) per group. Output (update mode): one
+    row per (microbatch, group) with the full overlap surface +
+    rows_seen (monotone — the final state is the max-rows_seen row)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions import text as X
+    from ..functions.sketch import KMV_HASH_BASE
+
+    ref_rows = ref_sketch.select(
+        *(["u", "k"] if "k" in ref_sketch.columns else ["u"])
+    ).collect()
+    for r in ref_rows:
+        if "k" in r.asDict() and int(r["k"]) != int(k):
+            raise ValueError(
+                f"kmv_overlap_stream(k={k}) does not match the reference "
+                f"sketch's carried build-time k={int(r['k'])}"
+            )
+    ref = sorted({int(r["u"]) for r in ref_rows})[:k]
+    if not ref:
+        raise ValueError("kmv_overlap_stream: empty reference sketch")
+    ref_set = set(ref)
+    # est_b: the reference side's estimate — float64-for-float64 the
+    # batch _estimate_expr, computed once
+    import math as _math
+
+    if len(ref) < k:
+        est_b = float(len(ref))
+    else:
+        est_b = (
+            _math.floor(
+                (float(k - 1) * float(KMV_HASH_BASE) / float(ref[-1] + 1))
+                * 10000
+                + 0.5
+            )
+            / 10000
+        )
+
+    hashed = events.where(F.col("user_id").isNotNull()).select(
+        "event_type",
+        X.md5_long(F.col("user_id").cast("string")).alias("u"),
+    )
+    out_schema = (
+        "event_type STRING, sketch_size LONG, jaccard DOUBLE, "
+        "est_union DOUBLE, est_intersection DOUBLE, est_a DOUBLE, "
+        "est_b DOUBLE, containment_a_in_b DOUBLE, "
+        "containment_b_in_a DOUBLE, rows_seen LONG"
+    )
+    state_schema = "hashes ARRAY<LONG>, rows_seen LONG"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        def est(sk_sorted: list) -> float:
+            m = len(sk_sorted)
+            if m < k:
+                return float(m)
+            return (
+                math.floor(
+                    (
+                        float(k - 1)
+                        * float(KMV_HASH_BASE)
+                        / float(sk_sorted[-1] + 1)
+                    )
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            )
+
+        if state.exists:
+            stored, seen = state.get
+            hs = {int(x) for x in stored}
+        else:
+            hs, seen = set(), 0
+        for pdf in pdfs:
+            seen += len(pdf)
+            hs.update(int(x) for x in pdf["u"])
+            if len(hs) > 4 * k:
+                hs = set(sorted(hs)[:k])
+        sk = sorted(hs)[:k]
+        state.update(([int(x) for x in sk], seen))
+        a_set = set(sk)
+        union = sorted(a_set | ref_set)[:k]
+        m = len(union)
+        both = sum(1 for u in union if u in a_set and u in ref_set)
+        # batch kmv_jaccard, float64-for-float64
+        jacc = math.floor((float(both) / float(m)) * 10000 + 0.5) / 10000
+        est_union = est(union)
+        inter = math.floor(jacc * est_union * 10000 + 0.5) / 10000
+        est_a = est(sk)
+        # batch kmv_containment incl. the ADVICE-r13 clamp
+        c_a = (
+            math.floor(
+                min(1.0, inter / est_a if est_a > 0 else 0.0) * 10000 + 0.5
+            )
+            / 10000
+        )
+        c_b = (
+            math.floor(
+                min(1.0, inter / est_b if est_b > 0 else 0.0) * 10000 + 0.5
+            )
+            / 10000
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "sketch_size": [m],
+                "jaccard": [jacc],
+                "est_union": [est_union],
+                "est_intersection": [inter],
+                "est_a": [est_a],
+                "est_b": [est_b],
+                "containment_a_in_b": [c_a],
+                "containment_b_in_a": [c_b],
+                "rows_seen": [seen],
+            }
+        )
+
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_kmv_overlap_stream_to_memory(
+    spark: SparkSession,
+    sf_dir: str,
+    ref_sketch: DataFrame,
+    table_name: str = "kmv_overlap",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    shuffle_partitions: int = 8,
+) -> None:
+    """Drain the bounded events source through the streaming overlap
+    monitor (availableNow) into a memory sink — the same drain shape
+    (and the same small-partition state-store sizing rationale) as
+    :func:`run_kmv_distinct_stream_to_memory`."""
+    from ..plans.iterate import loop_conf
+
+    agg = kmv_overlap_stream(
+        stream_events(
+            spark,
+            sf_dir,
+            glob=glob,
+            max_files_per_trigger=max_files_per_trigger,
+        ),
+        ref_sketch,
+    )
+    with loop_conf(spark, shuffle_partitions):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def enriched_segment_totals(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-STATIC enrichment join + aggregation: the unbounded event
     stream joins the bounded customer dim (broadcast — the dim rides to
