@@ -157,6 +157,32 @@ def _emb_normed(df: DataFrame) -> DataFrame:
     )
 
 
+# r14 optimization (guide §2.4 "remove shuffles outright" / §5 caching):
+# the multi-stage ANN compositions reference the same small derived
+# frames — the cell ASSIGNMENT (the thing a production deployment
+# materializes as the index) and the normalized corpus — from several
+# plan branches. Catalyst does not share common subtrees across
+# branches, so without a pin the residual rung recomputed the
+# scan→normalize→assign pipeline up to 4× per query (10 parquet scans
+# of the embeddings table in one plan, zero ReusedExchange —
+# plans/r14/ann_ivf_pq64_residual_topk_before.txt). A lazy persist()
+# computes each pinned frame once per action and serves every other
+# branch from storage; bench.py drops all RDD blocks between repeats so
+# every timed run still pays the full cold computation. Toggle exists
+# for A/B measurement only.
+_PIN_REUSED = True
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a small reused subtree (lazy; computed at most once per
+    action, reused by every plan branch that references it)."""
+    if not _PIN_REUSED:
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -166,7 +192,7 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cos, rank); ordering tiebreak on
     neighbor_id keeps the row set deterministic under rounded ties.
     """
-    emb = _emb_normed(embeddings)
+    emb = _pin(_emb_normed(embeddings))
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb")
     )
@@ -221,7 +247,9 @@ def lsh_ann_topk(
     bucket. Equi-join on bucket replaces the full cross product — the
     100 TB path (bucket count scales 2^planes; skewed buckets split by
     AQE)."""
-    emb = _emb_normed(embeddings).withColumn("bucket", _bucket_expr(F.col("ne")))
+    emb = _pin(
+        _emb_normed(embeddings).withColumn("bucket", _bucket_expr(F.col("ne")))
+    )
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("ne").alias("qemb"), "bucket"
     )
@@ -268,7 +296,11 @@ def cosine_topk_q8(
     )
     # quantized self-norms: |q| ≈ 127 but not exactly — score divides by
     # the true quantized norms so ranking matches the stored vectors
-    emb = emb.withColumn("qn", F.sqrt(V.dot_int(F.col("q"), F.col("q")).cast("double")))
+    emb = _pin(
+        emb.withColumn(
+            "qn", F.sqrt(V.dot_int(F.col("q"), F.col("q")).cast("double"))
+        )
+    )
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -532,6 +564,11 @@ def ivf_topk(
     are unaffected either way: the probe floors at ``n_probes``, so
     whenever the fixed probe already reaches the target, the plan is
     the unfiltered one plus one narrow count."""
+    # NOT pinned (r14 A/B): keep=None reads every subtree once (pin was
+    # a wash, 1.00×), and on the keep path pinning the 3-column
+    # assignment REGRESSED 1.12× — the widened probe's match-count pass
+    # deliberately reads only (vec_id, cell) via parquet column pruning,
+    # which an InMemoryRelation of the wide (… ne) rows defeats.
     emb = _emb_normed(embeddings)
     cent = emb.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("ce")
@@ -641,7 +678,7 @@ def lloyd_train(
     everything (the small-data exact twin). The init (first
     ``n_cells`` vec_ids) is shared by both so trained/untrained stay
     comparable."""
-    emb = _emb_normed(embeddings)
+    emb = _pin(_emb_normed(embeddings))
     train = (
         emb
         if sample_mod is None
@@ -729,7 +766,7 @@ def ivf_topk_trained(
     cent = spark.createDataFrame(
         cent_rows, "cid long, ce array<double>"
     )
-    emb = _emb_normed(embeddings)
+    emb = _pin(_emb_normed(embeddings))
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "ne", "cid", V.dot(F.col("ne"), F.col("ce")).alias("cs"))
@@ -877,7 +914,7 @@ def hamming_ann_topk(
     every other ANN path."""
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
-    emb = _emb_normed(embeddings)
+    emb = _pin(_emb_normed(embeddings))
     lo, hi = _sign_sig_cols(F.col("ne"))
     sig = emb.select("vec_id", lo.alias("slo"), hi.alias("shi"))
     qs = sig.where(F.col("vec_id") < n_queries).select(
@@ -1135,7 +1172,7 @@ def pq_adc_topk(
         )
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
-    emb = _emb_normed(embeddings)
+    emb = _pin(_emb_normed(embeddings))
     cb = (
         pq_train(embeddings, trained_rounds, sample_mod=train_sample_mod)
         if trained_rounds
@@ -1228,7 +1265,7 @@ def ivf_hamming_topk(
     oracle computing the identical rule as a scalar subquery."""
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
-    emb = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
+    emb = _pin(ivf_assign(embeddings, n_cells))  # (vec_id, cell, ne)
     lo, hi = _sign_sig_cols(F.col("ne"))
     sig = emb.select(
         "vec_id", "cell", lo.alias("slo"), hi.alias("shi"), "ne"
@@ -1346,9 +1383,11 @@ def embedding_near_dup_pairs_lsh(
     column per dimension) by two id equi-joins, and the exact cosine is
     a codegen multiply-add chain — no HOF interpretation, no Python
     worker, bit-exact with the SQL oracle's list_dot_product."""
-    wide = _emb_wide(embeddings)
-    tagged_ids = _multi_table_tagged_ids(
-        _emb_normed(embeddings), n_tables, planes_per_table
+    wide = _pin(_emb_wide(embeddings))
+    tagged_ids = _pin(
+        _multi_table_tagged_ids(
+            _emb_normed(embeddings), n_tables, planes_per_table
+        )
     )
     # aliases l/r, NOT a/b: the bucket column is named "b" and a dataset
     # alias "b" would shadow it in column resolution
@@ -1409,9 +1448,11 @@ def embedding_nearest_lsh(
     over the full candidate set, no pair materialization.
     Deterministic (cos rounded 6 dp before ranking, ties to the
     smallest neighbor id), hence fully oracle-checked."""
-    wide = _emb_wide(embeddings)
-    tagged = _multi_table_tagged_ids(
-        _emb_normed(embeddings), n_tables, planes_per_table
+    wide = _pin(_emb_wide(embeddings))
+    tagged = _pin(
+        _multi_table_tagged_ids(
+            _emb_normed(embeddings), n_tables, planes_per_table
+        )
     )
     left = tagged.join(_rename_wide(wide, "vec_id", "a"), "vec_id")
     right = tagged.withColumnRenamed("vec_id", "nn").join(
@@ -1460,9 +1501,11 @@ def lsh_ann_topk_multi(
     (query, neighbor) pair colliding in several tables is scored once,
     not L times), then exactly scored via the wide codegen dot — still
     an equi-join on (table, bucket), never a cross product."""
-    wide = _emb_wide(embeddings)
-    tagged = _multi_table_tagged_ids(
-        _emb_normed(embeddings), n_tables, planes_per_table
+    wide = _pin(_emb_wide(embeddings))
+    tagged = _pin(
+        _multi_table_tagged_ids(
+            _emb_normed(embeddings), n_tables, planes_per_table
+        )
     )
     q = tagged.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "t", "b"
@@ -1533,8 +1576,8 @@ def ivf_pq_topk(
     identical rule as a scalar subquery."""
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
-    embn = _emb_normed(embeddings)
-    assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
+    embn = _pin(_emb_normed(embeddings))
+    assigned = _pin(ivf_assign(embeddings, n_cells))  # (vec_id, cell, ne)
     cb = pq_codebooks(embeddings, pq_k)
     codes = pq_encode(embn, cb).join(
         assigned.select("vec_id", "cell"), "vec_id"
@@ -1641,8 +1684,11 @@ def ivf_pq_residual_topk(
     if rerank_mult is None:
         rerank_mult = hamming_auto_mult(corpus_size(embeddings))
     dsub = DIMS // pq_m
-    embn = _emb_normed(embeddings)
-    assigned = ivf_assign(embeddings, n_cells)  # (vec_id, cell, ne)
+    embn = _pin(_emb_normed(embeddings))
+    # the index a production deployment stores: computed once, read by
+    # the residual encode, the code join and (keep path) the widened
+    # probe — unpinned, each branch replayed scan→normalize→assign
+    assigned = _pin(ivf_assign(embeddings, n_cells))  # (vec_id, cell, ne)
     cent = embn.where(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("ne").alias("ce")
     )
@@ -2080,15 +2126,17 @@ def _index_exact_topk(
             n_queries, _widen_target(k, widen_to), n_cells, n_probes,
             qemb_col="qe",
         )
-        # evaluate the widening ONCE: the probe is bounded
-        # (n_queries x <= n_cells rows), so collect it and rebuild a
-        # local frame — otherwise the scoring join below would re-run
-        # the column-pruned match-count pass a second time
-        _rows = qprobe.collect()
-        qprobe = spark.createDataFrame(_rows, qprobe.schema)
-    probe_cells = sorted(
-        {r["cell"] for r in qprobe.select("cell").distinct().collect()}
-    )
+    # evaluate the probe ONCE: it is bounded (n_queries × ≤ n_cells
+    # rows — the k-row control-channel convention), so collect it,
+    # rebuild a local frame for the scoring join, and derive the
+    # pruning cell set from the same rows. One probe job instead of
+    # three (probe → broadcast, probe → distinct-cells collect, and on
+    # the keep path the match-count pass replayed per reference —
+    # guide §2.4 / §5: the driver round-trip is the cheap side of a
+    # recomputed subtree).
+    _rows = qprobe.collect()
+    qprobe = spark.createDataFrame(_rows, qprobe.schema)
+    probe_cells = sorted({r["cell"] for r in _rows})
     idx = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
     candidates = idx.select("vec_id", "cell", "ne")
     if keep is not None:
@@ -2234,9 +2282,11 @@ def ann_index_topk(
         .where(F.col("pr") <= n_probes)
         .select("query_id", "qe", F.col("cid").cast("long").alias("cell"))
     )
-    probe_cells = sorted(
-        {r["cell"] for r in qprobe.select("cell").distinct().collect()}
-    )
+    # bounded probe: evaluate once, reuse rows for both the pruning
+    # cell set and the broadcast join (one probe job instead of two)
+    _rows = qprobe.collect()
+    qprobe = spark.createDataFrame(_rows, qprobe.schema)
+    probe_cells = sorted({r["cell"] for r in _rows})
     cb = pq_codebooks(embeddings)
     idx = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
     part = (
@@ -2355,14 +2405,13 @@ def ann_index_residual_topk(
             n_queries, _widen_target(k, widen_to), n_cells, n_probes,
             qemb_col="qe", extra_cols=("cs",),
         )
-        # bounded probe (n_queries x <= n_cells rows): evaluate the
-        # widening once and rebuild a local frame, so the pre-rank
-        # join doesn't re-run the match-count pass
-        _rows = qprobe.collect()
-        qprobe = spark.createDataFrame(_rows, qprobe.schema)
-    probe_cells = sorted(
-        {r["cell"] for r in qprobe.select("cell").distinct().collect()}
-    )
+    # bounded probe (n_queries × ≤ n_cells rows): evaluate it once,
+    # rebuild a local frame for the pre-rank join and derive the
+    # pruning cell set from the same rows — one probe job instead of
+    # two (and on the keep path the match-count pass runs exactly once)
+    _rows = qprobe.collect()
+    qprobe = spark.createDataFrame(_rows, qprobe.schema)
+    probe_cells = sorted({r["cell"] for r in _rows})
     idx = stored.where(F.col("cell").isin(probe_cells))
     cand_rows = idx
     if keep is not None:
@@ -2443,9 +2492,9 @@ def lsh_ann_topk_multiprobe(
     amplification. Probe buckets are derived from the same bit-exact
     dot folds as the bucket bits, so the candidate set — and therefore
     the approximate result — is fully oracle-checkable."""
-    wide = _emb_wide(embeddings)
-    emb = _emb_normed(embeddings)
-    tagged = _multi_table_tagged_ids(emb, n_tables, planes_per_table)
+    wide = _pin(_emb_wide(embeddings))
+    emb = _pin(_emb_normed(embeddings))
+    tagged = _pin(_multi_table_tagged_ids(emb, n_tables, planes_per_table))
     qn = emb.where(F.col("vec_id") < n_queries)
     probe_structs = []
     for t in range(n_tables):
@@ -2528,6 +2577,10 @@ def semdedup(
     clusters for 5B images) so cells stay bounded, and the assignment
     is the same broadcast-centroid map-side argmax the IVF index uses —
     cluster once at ingest, reuse for both search and dedup."""
+    # NOT pinned (r14 A/B): persisting the assignment regressed this
+    # sub-second query 0.46 → 1.59 s — the cache materialization stage
+    # costs more than the self-join's recompute, and the InMemoryRelation
+    # blocks the narrow-column pushdown both join sides enjoy.
     assigned = ivf_assign(embeddings, n_cells)
     left = assigned.select(
         F.col("cell"),
