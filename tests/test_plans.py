@@ -444,9 +444,13 @@ def test_secondary_sort_single_exchange(spark, sf_dir):
 def test_aqe_splits_skewed_join_partitions(spark):
     """The FIRST line of defense for skewed joins (functions/skew.py
     docstring) is AQE's runtime skew split — prove it fires: a join
-    where one key holds ~300x the rows must re-plan at runtime to
-    SortMergeJoin(skew=true), splitting the hot partition instead of
-    serializing it on one task. The manual two-sided salting twin
+    where one key holds ~300x the rows must re-plan at runtime to a
+    (skew=true) shuffle join, splitting the hot partition instead of
+    serializing it on one task. Under the r14 session default
+    (preferSortMergeJoin=false) the split lands on a
+    ShuffledHashJoin(skew=true); with SMJ preferred it is
+    SortMergeJoin(skew=true) — AQE handles both, so the assertion
+    accepts either flavor. The manual two-sided salting twin
     (salted_join) stays the fallback for engines/paths where AQE can't
     apply. Thresholds are scaled down to fixture size; the plan is read
     AFTER execution (AQE decides from runtime MapOutputStatistics, so
@@ -493,7 +497,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
         assert probe.collect() == []
         ep = probe._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in ep
-        assert "SortMergeJoin(skew=true)" in ep
+        assert "SortMergeJoin(skew=true)" in ep or "ShuffledHashJoin(skew=true)" in ep
     finally:
         for k, v in saved.items():
             if v is None:
