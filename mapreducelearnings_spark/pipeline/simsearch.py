@@ -183,6 +183,22 @@ def _pin(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+# r14: hash-distribute index rows by cell before the partitioned write
+# (guide §6, the write.distribution-mode=hash idea): without it every
+# shuffle task writes one file into every cell directory it touches —
+# measured 795 files for a 1 500-row sf0.1 build, 397 more per 500-row
+# append (tasks × cells, the small-files tax at ingest). One exchange
+# clusters each cell onto one writer: n_cells files per write. Toggle
+# exists for A/B measurement only.
+_WRITE_HASH_DISTRIBUTE = True
+
+
+def _distribute_for_write(df: DataFrame) -> DataFrame:
+    if not _WRITE_HASH_DISTRIBUTE:
+        return df
+    return df.repartition("cell")
+
+
 def cosine_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -1827,7 +1843,7 @@ def ann_index_write(embeddings: DataFrame, path: str) -> None:
         cent = cent_cid.select(F.col("cid").alias("cell"), "ce")
         rcb = _residual_codebooks(assigned, cent)
         (
-            _index_rows(embn, assigned, cb, cent, rcb)
+            _distribute_for_write(_index_rows(embn, assigned, cb, cent, rcb))
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(path)
@@ -1954,7 +1970,7 @@ def ann_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
         newn = newn.persist()
         assigned = _assign_cells(newn, cent).persist()
         (
-            _index_rows(newn, assigned, cb, cent_cells, rcb)
+            _distribute_for_write(_index_rows(newn, assigned, cb, cent_cells, rcb))
             .write.mode("append")
             .partitionBy("cell")
             .parquet(path)
