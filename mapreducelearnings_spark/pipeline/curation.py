@@ -28,6 +28,22 @@ from ..operators import graph as G
 from . import dedup as DD
 from . import textstats as TS
 
+# r14 optimization (guide §2.4/§5, same pattern as simsearch._pin):
+# the three curation stages each feed TWO consumers (the gate: id join
+# + final stats join; the gated narrow rows: hash dedup + exact-unique
+# join), and Catalyst shares no subtrees across branches, so the
+# unpinned plan replayed the quality gate ~3x and the md5 dedup twice.
+# Toggle exists for A/B measurement only.
+_PIN_REUSED = True
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    if not _PIN_REUSED:
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
 
 def curate_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Returns the curated keep-set as (doc_id, token_count,
@@ -37,8 +53,12 @@ def curate_corpus(spark: SparkSession, docs: DataFrame) -> DataFrame:
     survives (deterministic, and the component label of the union-find
     is already the min member, so near-dup survivors are exactly the
     rows where vertex == component)."""
-    kept = TS.quality_filter(docs)
-    dk = docs.join(kept.select("doc_id"), "doc_id")
+    kept = _pin(TS.quality_filter(docs))
+    # narrow the gated rows to what downstream reads (doc_id, text) —
+    # the near-dup stage shingles text, the survivor joins use ids only
+    dk = _pin(
+        docs.select("doc_id", "text").join(kept.select("doc_id"), "doc_id")
+    )
     exact_keep = (
         dk.groupBy(F.md5("text").alias("_h"))
         .agg(F.min("doc_id").alias("doc_id"))

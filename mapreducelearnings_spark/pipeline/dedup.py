@@ -26,6 +26,23 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 
+# r14 optimization (guide §2.4/§5, same pattern as simsearch._pin):
+# the LSH band self-join and the shingle self-join reference the SAME
+# derived frame from both sides, and Catalyst shares no subtrees
+# across branches — unpinned, the full tokenize→shingle→md5→minhash
+# pipeline ran once per side. Pinning the narrow derived frame
+# (ids + band signatures / ids + shingles) computes it once per
+# action. Toggle exists for A/B measurement only.
+_PIN_REUSED = True
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    if not _PIN_REUSED:
+        return df
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
@@ -140,7 +157,7 @@ def ngram_jaccard_pairs(
     |A∩B| via the shingle self-join, |A| and |B| via per-doc counts:
     J = inter / (|A| + |B| − inter).
     """
-    sh = shingle_table(docs, text_col, n)
+    sh = _pin(shingle_table(docs, text_col, n))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -216,6 +233,11 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
+    # NOT pinned (r14 A/B): the self-join's two sides are IDENTICAL
+    # subtrees shuffled by the same key, so the planner already reuses
+    # one exchange (ReusedExchange) — the minhash pipeline runs once
+    # either way, and a pin only added cache-materialization overhead
+    # (measured 1.11–1.14× across the LSH-pair consumers).
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
@@ -275,6 +297,7 @@ def keep_best_survivors(
     quality join rides the same doc_id partitioning.  No windows, no
     driver reads.
     """
+    stats = _pin(stats)  # read by the member argmax AND the singleton join
     members = labels.join(stats, "doc_id")
     reps = members.groupBy("cluster_id").agg(
         F.max_by(
