@@ -603,6 +603,11 @@ def ivf_topk(
             "query_id", "qemb", F.col("cid").cast("long").alias("cell")
         )
     else:
+        # NOT materialized through the driver (r14 A/B): unlike the
+        # on-disk twins — where the probe feeds TWO consumers (pruning
+        # cell set + broadcast join) — here it feeds only the broadcast,
+        # so a collect/createDataFrame round-trip just adds a job
+        # (measured 1.47× on the two-branch filtered entry).
         qprobe = _widened_probe(
             ranked, assigned.select("vec_id", "cell"), keep,
             n_queries, _widen_target(k, widen_to), n_cells, n_probes,
@@ -1739,6 +1744,8 @@ def ivf_pq_residual_topk(
         # (a budget that counts unfiltered candidates under-fills with
         # matches under selective predicates — the failure mode that
         # kept r12's filtered reads on the exact rung)
+        # single consumer (the pre-rank broadcast): left lazy, same
+        # rationale as ivf_topk's keep path above
         qprobe = _widened_probe(
             ranked, assigned.select("vec_id", "cell"), keep,
             n_queries, _widen_target(k, widen_to), n_cells, n_probes,
