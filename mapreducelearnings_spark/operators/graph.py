@@ -234,7 +234,14 @@ def sssp(
         return changed == 0
 
     with _loop_shuffle_partitions(spark, loop_partitions):
-        out = iterate(dist0, step, converged=converged, max_iter=max_iter)
+        # check_every=2 (r14): min-relax is a monotone fixpoint, so a
+        # late convergence check returns the identical distance table —
+        # it only halves the per-iteration diff-count control jobs
+        # (each a full job of scheduling overhead on this k-row state)
+        # at the cost of at most one no-op extra step.
+        out = iterate(
+            dist0, step, converged=converged, max_iter=max_iter, check_every=2
+        )
     edges.unpersist()
     vertices.unpersist()
     return out

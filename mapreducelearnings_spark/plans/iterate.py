@@ -30,6 +30,7 @@ def iterate(
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
     max_iter: int = 10,
     checkpoint_every: int = 4,
+    check_every: int = 1,
 ) -> DataFrame:
     """Run ``step`` until ``converged`` or ``max_iter``.
 
@@ -37,6 +38,16 @@ def iterate(
     (optional) is evaluated after each step — it may run Spark actions
     (e.g. a diff-count join, SingleSourceShortestPathRDD/.../
     FollowerCount.scala:42-44).
+
+    ``check_every`` (r14, guide §1.2 "per-task work" → fewer control
+    jobs): evaluate ``converged`` only every N-th iteration. Correct
+    for MONOTONE fixpoint loops (min-relax SSSP, label propagation):
+    once converged the state is stable, so extra steps are no-ops and
+    the fixpoint returned is identical — the loop just trades ≤ N−1
+    wasted (cheap) steps against halving the convergence-check jobs,
+    which on small-state graphs are pure job-scheduling overhead.
+    Callers whose ``converged`` has side effects or whose step is not
+    idempotent at the fixpoint must keep the default 1.
     """
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
     for i in range(max_iter):
@@ -49,7 +60,10 @@ def iterate(
             # action, which caches every intermediate marker in ONE job
             # instead of one job per iteration.
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
-        done = bool(converged and converged(state, new))
+        check_now = converged is not None and (
+            (i + 1) % max(1, check_every) == 0 or i == max_iter - 1
+        )
+        done = bool(check_now and converged(state, new))
         state.unpersist()
         state = new
         if done:
