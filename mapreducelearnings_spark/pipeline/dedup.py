@@ -297,7 +297,10 @@ def keep_best_survivors(
     quality join rides the same doc_id partitioning.  No windows, no
     driver reads.
     """
-    stats = _pin(stats)  # read by the member argmax AND the singleton join
+    # stats deliberately NOT pinned (r14 order-balanced A/B: 1.23×
+    # with a pin): both consumers join it on doc_id, so the two
+    # exchanges are identical and the planner already reuses one —
+    # the pin only added a cache-materialization stage.
     members = labels.join(stats, "doc_id")
     reps = members.groupBy("cluster_id").agg(
         F.max_by(

@@ -69,27 +69,15 @@ def get_spark(
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "268435456")
-        # --- join strategy (r14, guide §3.1/§9) ---
-        # Let the planner pick a shuffled-hash join when its size
-        # conditions hold (build side of each partition fits a hash
-        # map) instead of always sort-merge: SMJ pays two full sorts
-        # that SHJ skips. Measured on the 9 SMJ-bearing headline
-        # queries (interleaved A/B, min of 3): 0.73–0.95×, zero
-        # regressions after a fair recheck of every candidate. Scale
-        # note: this is NOT a local-mode tune — the planner still
-        # applies its own per-partition size checks, and the AQE
-        # rewrite threshold below only fires when every post-shuffle
-        # partition is under the advisory partition size, so a
-        # too-big build side falls back to SMJ exactly as upstream
-        # designed. Opt out via SPARK_GRAFT_PREFER_SMJ=1.
-        .config(
-            "spark.sql.join.preferSortMergeJoin",
-            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1" else "false",
-        )
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            "0" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") == "1" else "64MB",
-        )
+        # --- join strategy: DEFAULTS KEPT (r14, examined and rejected) ---
+        # preferSortMergeJoin=false + maxShuffledHashJoinLocalMapThreshold
+        # looked like a 0.73–0.95× win on the 9 SMJ-bearing queries in a
+        # naive alternating A/B, but the effect REVERSED with the run
+        # order (second position always wins ~1.2× — shared JIT +
+        # OS page cache), and the executed plans showed the confs never
+        # actually produced a ShuffledHashJoin here (the remaining SMJs
+        # are same-size self-joins, which fail the planner's muchSmaller
+        # condition). A conf that changes no plan is noise; defaults kept.
         # --- Python interop is Arrow-batched, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- local-mode driver is also the executor; give it room ---
