@@ -60,8 +60,13 @@ def iterate(
             # action, which caches every intermediate marker in ONE job
             # instead of one job per iteration.
             new = new.persist(StorageLevel.MEMORY_AND_DISK)
-        check_now = converged is not None and (
-            (i + 1) % max(1, check_every) == 0 or i == max_iter - 1
+        # no check on the final iteration (r15, ADVICE r14): the loop
+        # ends regardless, so a diff-count job there is pure waste —
+        # exactly the control job check_every exists to save.
+        check_now = (
+            converged is not None
+            and i != max_iter - 1
+            and (i + 1) % max(1, check_every) == 0
         )
         done = bool(check_now and converged(state, new))
         state.unpersist()

@@ -446,11 +446,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
     docstring) is AQE's runtime skew split — prove it fires: a join
     where one key holds ~300x the rows must re-plan at runtime to a
     (skew=true) shuffle join, splitting the hot partition instead of
-    serializing it on one task. Under the r14 session default
-    (preferSortMergeJoin=false) the split lands on a
-    ShuffledHashJoin(skew=true); with SMJ preferred it is
-    SortMergeJoin(skew=true) — AQE handles both, so the assertion
-    accepts either flavor. The manual two-sided salting twin
+    serializing it on one task. The session keeps Spark's join-strategy
+    defaults (preferSortMergeJoin=false was examined and REJECTED in
+    r14 — commit 52f75da), so the split normally lands on a
+    SortMergeJoin(skew=true); the assertion accepts a
+    ShuffledHashJoin(skew=true) too, for robustness to join-strategy
+    confs rather than because of any session default. The manual
+    two-sided salting twin
     (salted_join) stays the fallback for engines/paths where AQE can't
     apply. Thresholds are scaled down to fixture size; the plan is read
     AFTER execution (AQE decides from runtime MapOutputStatistics, so

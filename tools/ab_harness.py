@@ -9,7 +9,7 @@ both variants occupy both positions equally, and reports min + median.
 
 Usage (as a library from a driver script):
     from tools.ab_harness import ab
-    ab(spark, ["query", ...], set_a=..., set_b=..., blocks=2)
+    ab(spark, REGISTRY, ["query", ...], sf_dir, set_a=..., set_b=..., blocks=2)
 """
 
 from __future__ import annotations
