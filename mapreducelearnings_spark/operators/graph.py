@@ -29,6 +29,23 @@ INF = float("inf")
 # scoped small-state loop tuning (partitions + AQE); see plans.iterate
 _loop_shuffle_partitions = loop_conf
 
+# r15 NEGATIVE RESULT (VERDICT r14 Next #1, examined and REJECTED): the
+# PageRank dangling delta is read back per iteration with a 1-row
+# collect() — a driver barrier, one sequential job per iteration — and
+# the obvious fix (fold delta/N into the plan as a 1-row broadcast over
+# the SAME cached mass, keeping the loop lazy so each 4-iteration
+# checkpoint window materializes in one job) measured a 2.03–2.14×
+# REGRESSION on all three bench entries (ABBA min: idfilter 2.56→5.48 s,
+# general 2.65→5.36 s, df_quirk 2.51→5.30 s). Root cause: the share
+# branch embeds the mass subtree a SECOND time in the ANALYZED logical
+# plan, so plan size doubles per iteration within a checkpoint window
+# (2⁴ by the 4th) — per-iteration persist() dedupes EXECUTION (the
+# CacheManager substitutes InMemoryRelation at physical planning) but
+# not ANALYSIS, and analyzer/optimizer time dominates at small state.
+# The r2 exponential-plan warning in pagerank's docstring therefore
+# holds even with per-iteration caching; the collect IS the optimum: it
+# pins the plan linear AND materializes the cache in the same job.
+
 
 # ---------------------------------------------------------------------------
 # Synthetic chain graph (distributed — the reference builds it in a
@@ -87,7 +104,9 @@ def pagerank(
     Catalyst plan LINEAR per iteration. (The tempting alternative — a
     broadcast 1-row crossJoin — duplicates the mass subtree in the plan
     each iteration, so plan size and optimizer time grow exponentially;
-    measured 26 s → 6 s on the k=100 bench when replaced with this.)
+    measured 26 s → 6 s on the k=100 bench when replaced with this in
+    r2, and RE-measured 2.1× worse in r15 even with the mass cached —
+    see the _PR_INPLAN_DELTA negative result above the function.)
     Lineage is truncated by localCheckpoint every 4 iterations.
 
     ``credit_dummy=True`` reproduces the DF variant's operator-precedence
@@ -474,6 +493,39 @@ def _root_graph(forest: DataFrame) -> DataFrame:
     )
 
 
+# r15 (guide §1.2 / VERDICT r14 Next #4): fuse connected_components'
+# per-round residual-size count() and the final residual collect() into
+# ONE bounded take per round. Toggle exists for A/B measurement only.
+_CC_FUSED_RESIDUAL = True
+
+
+def _residual_rows(spark: SparkSession, g: DataFrame, cap: int) -> list:
+    """ONE control job instead of count()-then-collect() (r15, guide
+    §1.2 / VERDICT r14 Next #4): take ``cap + 1`` rows of the residual
+    root graph — ≤ cap rows means the list IS the complete residual
+    (feed it straight to the driver union-find), cap + 1 means "still
+    too big, contract another round" and the rows are discarded. The
+    driver never holds more than cap + 1 narrow rows, exactly the
+    bound the old count-guarded collect enforced. initialNumPartitions
+    is raised for the take so the common small-residual case scans all
+    (≤ loop-width) partitions in one job instead of CollectLimit's
+    1 → 4 → … escalation rounds, which would cost MORE jobs than the
+    count it replaces."""
+    if not _CC_FUSED_RESIDUAL:
+        n = g.count()
+        return g.collect() if n <= cap else [None] * (cap + 1)
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "64")
+    try:
+        return g.take(cap + 1)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def connected_components(
     spark: SparkSession,
     edges: DataFrame,
@@ -524,7 +576,8 @@ def connected_components(
         g = _root_graph(forest)
         rounds = 0
         extra = []  # (root → contracted-root) maps from extra rounds
-        n = g.count()
+        rows = _residual_rows(spark, g, driver_edge_cap)
+        n = len(rows)
         while n > driver_edge_cap and rounds < max_iter + star_budget:
             src = g
             if rounds >= max_iter:
@@ -542,8 +595,16 @@ def connected_components(
             ).persist(StorageLevel.MEMORY_AND_DISK)
             extra.append(f2)
             g = _root_graph(f2)
-            n = g.count()
+            rows = _residual_rows(spark, g, driver_edge_cap)
+            n = len(rows)
             rounds += 1
+        if n > driver_edge_cap:
+            # round budget exhausted while still above the cap
+            # (adversarial layouts only): the truncated take is NOT the
+            # full residual — fall back to the exact full collect the
+            # pre-fusion code always did.
+            rows = g.collect()
+            n = len(rows)
         CC_LAST_STATS["residual_edges"] = n
         CC_LAST_STATS["rounds"] = rounds
         CC_LAST_STATS["star_rounds"] = max(0, rounds - max_iter)
@@ -558,7 +619,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in g.collect():
+        for r in rows:
             ra, rb = find(r.src), find(r.dst)
             if ra != rb:
                 if ra < rb:

@@ -1912,6 +1912,17 @@ def q_ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_rare = docs.where(
         (F.col("lang") == "de") & (F.col("doc_id") % 3 == 0)
     ).select(F.col("doc_id").alias("keep_id"))
+    # r15 NEGATIVE RESULT (VERDICT r14 Next #3, examined and REJECTED):
+    # sharing the corpus-side subtrees across the two predicate branches
+    # via pins (one assignment + one probe ranking serving both) lost at
+    # EVERY granularity in order-balanced ABBA — wide+narrow+ranked pins
+    # 1.16×, narrow-only 1.17×, narrow+normalized-corpus 1.04×,
+    # normalized-corpus-only 0.98× (wash). The duplicated branch
+    # subtrees are scan+map-parallel and overlap across cores inside the
+    # one union job, while every pin serializes both branches behind its
+    # cache-materialization stage — the r14 single-branch rejection
+    # (1.12×) generalizes to the 2-branch case. Two independent
+    # ivf_topk calls stay the plan.
     a = SS.ivf_topk(emb, keep=keep_en).select(
         F.lit("en").alias("pred"), "*"
     )

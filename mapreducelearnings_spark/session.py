@@ -78,6 +78,15 @@ def get_spark(
         # actually produced a ShuffledHashJoin here (the remaining SMJs
         # are same-size self-joins, which fail the planner's muchSmaller
         # condition). A conf that changes no plan is noise; defaults kept.
+        # --- AQE under cached plans: DEFAULT KEPT (re-examined r15) ---
+        # canChangeCachedPlanOutputPartitioning=true (VERDICT r14 Next
+        # #5 second attempt, order-balanced ABBA over the pin-bearing
+        # queries): trained 0.93×, nearest/similarity/filtered wash
+        # (0.98–1.04×), curation 1.10× WORSE, residual rung 1.48× WORSE
+        # (the cached assignment coalesces to ~1 partition and the ADC
+        # scan inherits it — reproducing r14). The r14 0.75–0.90× wins
+        # did not reproduce, so there is nothing left for a guarding
+        # repartition to protect; net-negative, default kept.
         # --- Python interop is Arrow-batched, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- local-mode driver is also the executor; give it room ---

@@ -16,11 +16,34 @@ replay history into a streaming pipeline.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.sketch import KMV_K
+from ..plans.iterate import loop_conf
+
+
+def _drain_partitions(default: int = 8) -> int:
+    """Shuffle-partition width for the bounded availableNow drains
+    (r15, guide §2.1; VERDICT r14 Next #6). A stateful streaming
+    operator allocates one state store per shuffle partition and
+    re-runs its aggregation across that many tasks EVERY microbatch,
+    so the width must track per-microbatch volume, not cluster size —
+    the session default (2× cores = 64 on the bench host) is pure
+    fixed overhead per batch on KB-sized batches (the 8-vs-32-core
+    scaling block measured stream_enriched_totals at ratio 0.49: 8
+    cores FASTER than 32, the per-batch-scheduling signature). The
+    streaming-LSH drain has sized itself this way since r8 (state
+    volume / ~2k rows per store, clamped [8, 32]); this is the same
+    rule for the fixed-key drains (segments, users, event types — a
+    handful to a few thousand keys of state). Production deployments
+    size it to arrival volume via $SPARK_GRAFT_STREAM_SHUFFLE; the
+    state-store count is pinned at checkpoint creation, so this is a
+    per-stream design constant, not a host tunable."""
+    return int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", str(default)))
 
 # Raw schema the file-stream source reads events.parquet with. NOTE the
 # unit asymmetry with the batch path: the parquet column is
@@ -98,14 +121,15 @@ def run_stream_to_memory(
     """Backfill pattern: availableNow trigger drains the source, writes
     complete-mode window aggregates to an in-memory sink, terminates."""
     agg = windowed_counts(stream_events(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 # NOTE: stream_documents (and DOCS_RAW_SCHEMA) are defined ONCE, in the
@@ -152,15 +176,16 @@ def run_dedup_stream_to_memory(
 ) -> None:
     """Drain a (possibly duplicate-bearing) bounded events source through
     streaming dedup into an append-mode memory sink."""
-    q = (
-        dedup_stream(stream_events(spark, src_dir))
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            dedup_stream(stream_events(spark, src_dir))
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def followup_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -201,15 +226,16 @@ def run_followup_join_stream_to_memory(
     once when the watermark closes it."""
     left = stream_events(spark, sf_dir, watermark="30 minutes")
     right = stream_events(spark, sf_dir, watermark="30 minutes")
-    q = (
-        followup_pairs(left, right)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            followup_pairs(left, right)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -312,14 +338,15 @@ def run_user_totals_upsert_stream(
         fs.rename(new_p, cur)
         fs.delete(old_p, True)
 
-    q = (
-        stream_events(spark, src_dir, glob=glob)
-        .writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            stream_events(spark, src_dir, glob=glob)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 # ---------------------------------------------------------------------------
@@ -591,14 +618,15 @@ def run_stateful_stream_to_memory(
     (availableNow) into a memory sink; the LAST update per user is the
     final running total."""
     agg = running_user_totals_stream(stream_events(spark, sf_dir))
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def kmv_distinct_stream(events: DataFrame, k: int = KMV_K) -> DataFrame:
@@ -961,14 +989,15 @@ def run_enriched_totals_to_memory(
     agg = enriched_segment_totals(
         stream_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
@@ -1008,14 +1037,15 @@ def run_session_windows_stream_to_memory(
     input stay in state and are never emitted. The stream≡batch contract
     test mirrors that closure predicate on the batch twin."""
     agg = session_counts(stream_events(spark, sf_dir, watermark=watermark), gap)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_incident_counts_stream_to_memory(
@@ -1068,14 +1098,15 @@ def run_incident_counts_stream_to_memory(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def followup_pairs_outer(left: DataFrame, right: DataFrame) -> DataFrame:
@@ -1119,12 +1150,13 @@ def run_followup_outer_join_stream_to_memory(
     emit when the watermark proves no partner can still arrive."""
     left = stream_events(spark, sf_dir, watermark="30 minutes")
     right = stream_events(spark, sf_dir, watermark="30 minutes")
-    q = (
-        followup_pairs_outer(left, right)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with loop_conf(spark, _drain_partitions()):
+        q = (
+            followup_pairs_outer(left, right)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -416,3 +416,54 @@ def test_incremental_components_folds_over_batches(spark):
     assert sorted(map(tuple, labels.collect())) == sorted(
         map(tuple, scratch.collect())
     )
+
+
+def test_cc_fused_residual_matches_unfused(spark):
+    """r15 fusion (VERDICT r14 Next #4): the residual root graph's
+    size-check count() and final collect() are fused into one bounded
+    take. Labels must be identical under both control paths, including
+    when the cap forces extra contraction rounds (the loop path the
+    fused take's cap+1 sentinel drives)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(200, 201), (300, 300)],
+        "src: long, dst: long",
+    )
+    try:
+        G._CC_FUSED_RESIDUAL = True
+        fused = sorted(
+            map(tuple, G.connected_components(spark, edges).collect())
+        )
+        fused_stats = dict(G.CC_LAST_STATS)
+        # tiny cap: every round's residual exceeds it, so the fused path
+        # must keep contracting on the cap+1 sentinel and finish through
+        # the exact fallback collect
+        fused_capped = sorted(
+            map(
+                tuple,
+                G.connected_components(
+                    spark, edges, driver_edge_cap=2, max_iter=2,
+                    star_budget=2,
+                ).collect(),
+            )
+        )
+        G._CC_FUSED_RESIDUAL = False
+        unfused = sorted(
+            map(tuple, G.connected_components(spark, edges).collect())
+        )
+        unfused_stats = dict(G.CC_LAST_STATS)
+        unfused_capped = sorted(
+            map(
+                tuple,
+                G.connected_components(
+                    spark, edges, driver_edge_cap=2, max_iter=2,
+                    star_budget=2,
+                ).collect(),
+            )
+        )
+    finally:
+        G._CC_FUSED_RESIDUAL = True
+    assert fused == unfused
+    assert fused_capped == unfused_capped
+    # the observability contract is unchanged: residual_edges is the
+    # exact residual size either way
+    assert fused_stats["residual_edges"] == unfused_stats["residual_edges"]
