@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..plans.iterate import iterate, loop_conf
+from ..plans.iterate import iterate, loop_conf, loop_width
 
 INF = float("inf")
 
@@ -186,12 +186,20 @@ def pagerank_chain(
     credit_dummy: bool = False,
 ) -> DataFrame:
     edges, ranks0 = chain_graph(spark, k)
-    # k² vertices is tiny relative to any session default — size the loop
-    # shuffles to the graph (callers with web-scale graphs pass their own
-    # pagerank(...) invocation with loop_partitions=None to inherit)
+    # Size the loop shuffles to the STATE (guide §2.1: partitions ∝ data,
+    # not cluster): k² rank rows are ~16 B each, so even one partition
+    # holds fixture-scale state with orders of magnitude to spare — the
+    # width only buys parallelism for the per-stage fixed costs, which
+    # stop paying back almost immediately on k-row tables. r15 ABBA
+    # (order-balanced, min over 4): width 8→4 = 0.84–0.90× across every
+    # graph-loop entry; 4→2 bought little more and REGRESSED sssp_paths
+    # 1.11×, so 4 is the floor. The formula keeps the default
+    # scale-adaptive (≈1 partition per 250k state rows); callers with
+    # web-scale graphs pass their own pagerank(...) invocation with
+    # loop_partitions=None to inherit the session width.
     return pagerank(
         spark, edges, ranks0, n_vertices=k * k, iterations=iterations,
-        loop_partitions=8, credit_dummy=credit_dummy,
+        loop_partitions=loop_width(k * k), credit_dummy=credit_dummy,
     )
 
 
@@ -205,7 +213,7 @@ def sssp(
     edges: DataFrame,
     source,
     max_iter: int = 64,
-    loop_partitions: int | None = 8,
+    loop_partitions: int | None = 4,
 ) -> DataFrame:
     """Unweighted SSSP: hop distance from ``source``; unreachable stays
     +inf (SingleSourceShortestPathRDD/.../FollowerCount.scala:29,36-51).
@@ -214,6 +222,11 @@ def sssp(
     (join → project dist+1), take the per-vertex min of old and relaxed
     distances, stop when no distance changed (diff-count join — the
     reference's convergence test, :42-44).
+
+    ``loop_partitions`` defaults to the state-sized width 4 (r15 — see
+    pagerank_chain's sizing note: 8→4 measured 0.84×/0.87× on the two
+    sssp entries, width 2 regressed the path unroll); big-graph callers
+    pass their own ∝|V| width or None to inherit the session's.
     """
     # co-partition the loop-invariant edge list on the join key at loop
     # width (same rationale and measurement as pagerank above)
@@ -360,7 +373,7 @@ def sssp_with_paths(
     edges: DataFrame,
     source,
     max_iter: int = 64,
-    loop_partitions: int | None = 8,
+    loop_partitions: int | None = 4,
 ) -> DataFrame:
     """SSSP distances + one canonical shortest path per reachable vertex
     (vertex, dist, path) — the capability of ShortestPathMR's
@@ -533,6 +546,7 @@ def connected_components(
     loop_partitions: int | None = 8,
     driver_edge_cap: int = 100_000,
     star_budget: int = 12,
+    label_partitions: int | None = 4,
 ) -> DataFrame:
     """Undirected connected components — the SURVEY.md §2.11 near-dedup
     clustering step (candidate PAIRS become duplicate CLUSTERS).
@@ -571,7 +585,16 @@ def connected_components(
     e = edges.select("src", "dst")
     if loop_partitions:
         e = e.repartition(loop_partitions, "src")
-    with _loop_shuffle_partitions(spark, loop_partitions):
+    # Two widths for two concerns (r15): ``loop_partitions`` keeps the
+    # CONTRACTION width (it gates the per-partition Python union-find's
+    # parallelism over edge rows — compute-bound, wants cores), while
+    # the root-graph groupBys and label joins are k-row shuffles that
+    # want the small state-sized width (``label_partitions``; the
+    # pagerank_chain sizing note and loop_width() carry the ABBA
+    # evidence — 0.93–0.94× on the dedup-clusters entries with the
+    # contraction width left at 8, vs mixed results when the
+    # contraction width was shrunk too).
+    with _loop_shuffle_partitions(spark, label_partitions):
         forest = _forest_contract(e).persist(StorageLevel.MEMORY_AND_DISK)
         g = _root_graph(forest)
         rounds = 0
@@ -861,7 +884,7 @@ def pagerank_standard(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
-    loop_partitions: int | None = 8,
+    loop_partitions: int | None = 4,
 ) -> DataFrame:
     """Textbook PageRank: rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)/deg(u)
     + dangling/N). The reference's variant (PageRankRDD) forwards FULL
@@ -877,6 +900,8 @@ def pagerank_standard(
     a single join+group-sum job whose NULL row IS the dangling mass
     (read back as a 1-row collect from the cached result) — halving the
     per-iteration job count vs a separate left_anti aggregation.
+    ``loop_partitions`` defaults to the state-sized width 4 (r15, ABBA
+    0.85× — pagerank_chain's sizing note has the derivation).
     """
     # a genuine NULL dst in unclean input would otherwise be folded into
     # the synthetic NULL-sink group and silently counted as dangling mass

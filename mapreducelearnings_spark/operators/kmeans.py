@@ -82,7 +82,11 @@ def kmeans_1d(
     }
 
     rounds = fixed_iterations if fixed_iterations is not None else max_iter
-    with loop_conf(points.sparkSession, 8):
+    # loop width 4 (r15): the per-round aggregate collapses to k rows,
+    # so the shuffle width only amortizes fixed stage cost — the same
+    # state-size sizing as the graph loops (graph.pagerank_chain's note;
+    # ABBA kmeans_centroids 0.90×, kmeans_followers wash)
+    with loop_conf(points.sparkSession, 4):
         for _ in range(rounds):
             updated = (
                 weighted.select("x", "w", _assign_expr(centroids).alias("cid"))

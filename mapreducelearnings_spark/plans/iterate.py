@@ -81,6 +81,19 @@ from contextlib import contextmanager  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def loop_width(state_rows: int) -> int:
+    """Scale-adaptive shuffle width for an iterative loop over
+    ``state_rows`` of NARROW state (graph ranks/distances: ~16 B/row).
+    Guide §2.1 sizes partitions to data (≈1 per 250k narrow rows here,
+    far below the 100 MB guideline because loop stages also carry fixed
+    per-stage cost that small widths amortize); floored at 4 — r15
+    measured width 2 regressing the path-unroll loop (sssp_paths
+    1.11×) while 4 won 0.84–0.90× over the old constant 8 on every
+    graph-loop bench entry — and capped so a huge-|V| caller that
+    forgot to pass an explicit width still gets a sane plan."""
+    return max(4, min(1024, state_rows // 250_000))
+
+
 @contextmanager
 def loop_conf(spark: SparkSession, partitions: int | None = 8):
     """Scoped tuning for iterative loops over SMALL state (graph ranks,
