@@ -37,6 +37,9 @@ _PIN_REUSED = True
 
 
 def _pin(df: DataFrame) -> DataFrame:
+    """See simsearch._pin — including the library-consumer note on
+    releasing accumulated pinned blocks in long-lived sessions
+    (ADVICE r14)."""
     if not _PIN_REUSED:
         return df
     from pyspark.storagelevel import StorageLevel

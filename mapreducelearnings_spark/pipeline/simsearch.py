@@ -175,7 +175,25 @@ _PIN_REUSED = True
 
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a small reused subtree (lazy; computed at most once per
-    action, reused by every plan branch that references it)."""
+    action, reused by every plan branch that references it).
+
+    LIBRARY-CONSUMER NOTE (ADVICE r14): pinned frames are registered
+    with the session's CacheManager and are NOT unpersisted by the
+    query functions — the returned DataFrame still references them, so
+    there is no safe point inside the function to release them. In a
+    long-lived session that calls these functions repeatedly, drop the
+    accumulated blocks between logical units of work the way bench.py
+    and tools/ab_harness.py do::
+
+        spark.catalog.clearCache()          # SQL cache
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(True)             # checkpoint/persist blocks
+
+    (The on-disk ingest paths — ann_index_write/append — persist scoped
+    frames and DO release them in try/finally, because there the
+    consumer is the write inside the same call.) MEMORY_AND_DISK keeps
+    an evicted pin correct: overflow spills instead of silently
+    recomputing a frame the plan assumed shared."""
     if not _PIN_REUSED:
         return df
     from pyspark.storagelevel import StorageLevel
