@@ -41,6 +41,13 @@ from pyspark.sql import functions as F
 # unambiguous. Shared verbatim with the oracle SQL.
 BPE_WORD_PATTERN = "[a-z]+"
 
+# r15: shuffle width of the BPE training loops' per-round pair-count
+# aggregations — vocabulary-sized narrow state, same sizing rule as the
+# graph loops (plans.iterate.loop_width; None = inherit session width,
+# kept as an A/B toggle).
+_BPE_LOOP_PARTITIONS: int | None = 4
+
+
 def _syms():
     # built lazily: F.expr needs an active SparkContext, and this module
     # is imported at registry load time before any session exists.
@@ -111,22 +118,30 @@ def train_merges(
     picks — see PERFORMANCE.md). A 30k-merge trainer never gets past
     round ~20 without this.
     """
+    from ..plans.iterate import loop_conf
+
     vocab = word_frequencies(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, rounds + 1):
-        best = (
-            pair_counts(vocab)
-            .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
-        if not best:  # vocabulary exhausted (all words one symbol)
-            break
-        row = best[0]
-        merges.append((rnd, row["lhs"], row["rhs"], row["pair_cnt"]))
-        vocab = apply_merge(vocab, row["lhs"], row["rhs"]).localCheckpoint(
-            eager=True
-        )
+    # state-sized loop width (r15): the per-round pair-count aggregate
+    # shuffles a vocabulary-sized narrow table, so the width follows the
+    # graph loops' sizing rule (see graph.pagerank_chain's note; ABBA
+    # bpe_merges below in OPTIMIZATION_r15.md). Counts are exact longs
+    # and tiebreaks total, so the width cannot change a merge pick.
+    with loop_conf(spark, _BPE_LOOP_PARTITIONS):
+        for rnd in range(1, rounds + 1):
+            best = (
+                pair_counts(vocab)
+                .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(1)
+                .collect()
+            )
+            if not best:  # vocabulary exhausted (all words one symbol)
+                break
+            row = best[0]
+            merges.append((rnd, row["lhs"], row["rhs"], row["pair_cnt"]))
+            vocab = apply_merge(
+                vocab, row["lhs"], row["rhs"]
+            ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
     )
@@ -188,27 +203,31 @@ def train_merges_batched(
     selected, so every round makes progress and the loop terminates in
     ≤ ``num_merges`` rounds.
     """
+    from ..plans.iterate import loop_conf
+
     vocab = word_frequencies(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    while len(merges) < num_merges:
-        want = min(batch_size, num_merges - len(merges))
-        ranked = [
-            (r["lhs"], r["rhs"], r["pair_cnt"])
-            for r in pair_counts(vocab)
-            .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
-            .limit(max(candidate_factor, 1) * batch_size)
-            .collect()
-        ]
-        if not ranked:  # vocabulary exhausted
-            break
-        batch = _select_disjoint(ranked, want)
-        nxt = vocab
-        for lhs, rhs, cnt in batch:
-            merges.append((len(merges) + 1, lhs, rhs, cnt))
-            nxt = apply_merge(nxt, lhs, rhs)
-        # eager localCheckpoint per ROUND (not per merge): lineage and
-        # plan depth stay constant-size — see train_merges' docstring
-        vocab = nxt.localCheckpoint(eager=True)
+    # state-sized loop width — see train_merges
+    with loop_conf(spark, _BPE_LOOP_PARTITIONS):
+        while len(merges) < num_merges:
+            want = min(batch_size, num_merges - len(merges))
+            ranked = [
+                (r["lhs"], r["rhs"], r["pair_cnt"])
+                for r in pair_counts(vocab)
+                .orderBy(F.desc("pair_cnt"), F.asc("lhs"), F.asc("rhs"))
+                .limit(max(candidate_factor, 1) * batch_size)
+                .collect()
+            ]
+            if not ranked:  # vocabulary exhausted
+                break
+            batch = _select_disjoint(ranked, want)
+            nxt = vocab
+            for lhs, rhs, cnt in batch:
+                merges.append((len(merges) + 1, lhs, rhs, cnt))
+                nxt = apply_merge(nxt, lhs, rhs)
+            # eager localCheckpoint per ROUND (not per merge): lineage
+            # and plan depth stay constant-size — see train_merges
+            vocab = nxt.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_round: long, lhs: string, rhs: string, pair_cnt: long"
     )
